@@ -1,0 +1,169 @@
+"""JVM-side Column functions (no Python in the hot path).
+
+Each function mirrors a scalar/predicate operator of the reference
+(SURVEY.md §2.2/§2.8 ids cited) as a pure ``pyspark.sql.functions``
+composition so Catalyst can push, prune, and codegen it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# -- URL decomposition (F1, contxt/utils.py:7-13 + urlparse use sites) ----
+
+def url_host(url: Column) -> Column:
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def url_path(url: Column) -> Column:
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def url_scheme(url: Column) -> Column:
+    return F.parse_url(url, F.lit("PROTOCOL"))
+
+
+def is_valid_url(url: Column) -> Column:
+    """P1: scheme AND netloc non-empty (contxt/utils.py:7-13)."""
+    return (
+        url_scheme(url).isNotNull()
+        & (url_scheme(url) != "")
+        & url_host(url).isNotNull()
+        & (url_host(url) != "")
+    )
+
+
+# -- YouTube URL classification (P2-P4, contxt/youtube_handler.py:6-31) ---
+
+def is_youtube_url(url: Column) -> Column:
+    """P2: substring test (contxt/cli.py:40-42)."""
+    return url.contains("youtube.com") | url.contains("youtu.be")
+
+
+def youtube_video_id(url: Column) -> Column:
+    """P4: 11-char id, bare or via v=/youtu.be/ (handler.py:6-13);
+    no match → null (reference raises; null + downstream filter here)."""
+    bare = F.regexp_extract(url, r"^([\w-]{11})$", 1)
+    embedded = F.regexp_extract(url, r"(?:v=|youtu\.be/)([\w-]{11})", 1)
+    return F.when(bare != "", bare).when(embedded != "", embedded)
+
+
+def youtube_url_type(url: Column) -> Column:
+    """P3: ordered classification — playlist (list= wins) > channel >
+    video > unknown (contxt/youtube_handler.py:15-31). Rule order is
+    semantic and preserved."""
+    return (
+        F.when(
+            url.contains("youtube.com/playlist") | url.contains("list="), F.lit("playlist")
+        )
+        .when(
+            url.contains("youtube.com/channel")
+            | url.contains("youtube.com/c/")
+            | url.contains("youtube.com/@"),
+            F.lit("channel"),
+        )
+        .when(youtube_video_id(url).isNotNull(), F.lit("video"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def youtube_container_id(url: Column) -> Column:
+    """Companion id extraction for P3: list= id for playlists, last
+    path segment for channels, video id otherwise ('' on miss)."""
+    t = youtube_url_type(url)
+    playlist_id = F.regexp_extract(url, r"list=([\w-]+)", 1)
+    channel_id = F.element_at(F.split(url, "/"), -1)
+    return (
+        F.when(t == "playlist", playlist_id)
+        .when(t == "channel", channel_id)
+        .when(t == "video", F.coalesce(youtube_video_id(url), F.lit("")))
+        .otherwise(F.lit(""))
+    )
+
+
+# -- filenames / strings (F3, F4, F6, F16, L3) ----------------------------
+
+def sanitize_filename(name: Column) -> Column:
+    r"""F3: strip [\/*?:"<>|], whitespace→_, cap 100 (contxt/utils.py:15-24)."""
+    cleaned = F.regexp_replace(name, r'[\\/*?:"<>|]', "")
+    underscored = F.regexp_replace(cleaned, r"\s+", "_")
+    return F.substring(underscored, 1, 100)
+
+
+def filename_from_url(url: Column) -> Column:
+    """F16: '{domain}_{path with / → _}', empty path → 'index'
+    (contxt/outputs.py:103-113), then sanitized (F3)."""
+    host = url_host(url)
+    path = F.regexp_replace(url_path(url), r"/+$", "")  # rstrip('/')
+    flat = F.regexp_replace(F.regexp_replace(path, "/", "_"), r"^_+", "")
+    key = F.when(path == "", F.concat(host, F.lit("_index"))).otherwise(
+        F.concat(host, F.lit("_"), flat)
+    )
+    return sanitize_filename(key)
+
+
+def normalize_whitespace(s: Column) -> Column:
+    """F4: collapse runs of whitespace to one space, trim
+    (contxt/scraper.py:317)."""
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def strip_tags(s: Column) -> Column:
+    """F6: drop <...> runs (contxt/scraper.py:421)."""
+    return F.regexp_replace(s, "<[^>]+>", "")
+
+
+def token_estimate(s: Column) -> Column:
+    """A4 fallback branch: len(text) // 4 (contxt/scraper.py:423-426)."""
+    return (F.length(s) / 4).cast("int")
+
+
+def image_ext(url: Column) -> Column:
+    """F15: path extension if whitelisted, else '.jpg'
+    (contxt/scraper.py:476-482)."""
+    ext = F.regexp_extract(url_path(url), r"(\.[^./]+)$", 1)
+    return F.when(
+        ext.isin(".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".avif"), ext
+    ).otherwise(F.lit(".jpg"))
+
+
+def escape_title(title: Column) -> Column:
+    """F17: escape double quotes for frontmatter
+    (contxt/formatters/markdown_formatter.py:42)."""
+    return F.regexp_replace(title, '"', '\\\\"')
+
+
+def matches_ignore_patterns(url: Column, patterns: list[str]) -> Column:
+    """P5: config ignore_patterns as a real frontier filter — true when
+    any pattern substring-matches the URL (contxt/config.py:21,
+    README.md:75; declared-but-unwired in the reference, wired here)."""
+    if not patterns:
+        return F.lit(False)
+    cond = url.contains(patterns[0])
+    for p in patterns[1:]:
+        cond = cond | url.contains(p)
+    return cond
+
+
+def markdown_frontmatter(
+    title: Column, url: Column, date: Column, og_description: Column
+) -> Column:
+    """D3 document assembly as a pure Column expression (JVM-side):
+    frontmatter + '# title' + source link; body is appended by caller
+    (contxt/formatters/markdown_formatter.py:36-61)."""
+    desc_line = F.when(
+        og_description.isNotNull() & (og_description != ""),
+        F.concat(F.lit('description: "'), F.regexp_replace(og_description, '"', '\\\\"'), F.lit('"\n')),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("---\n"),
+        F.lit('title: "'), escape_title(title), F.lit('"\n'),
+        F.lit('source: "'), url, F.lit('"\n'),
+        F.lit('date: "'), date, F.lit('"\n'),
+        desc_line,
+        F.lit("---\n\n"),
+        F.lit("# "), title, F.lit("\n\n"),
+        F.lit("Source: ["), url, F.lit("]("), url, F.lit(")\n"),
+    )
