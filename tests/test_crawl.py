@@ -1,0 +1,145 @@
+"""Crawl engine tests: Bloom sketch properties, politeness scheduling,
+and full-round parity against the sequential reference-semantics
+simulator (SURVEY.md §5.2-2), plus checkpoint resume (§5.2-5)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.crawl.bloom import BloomShard, shard_of
+from web_scraper_spark.crawl.rounds import CrawlConfig, last_committed_round, run_crawl
+from web_scraper_spark.crawl.simulator import SimConfig, simulate_crawl
+from web_scraper_spark.html.clean import extract_links
+from web_scraper_spark.sources.pages import gen_page_html, pages_df, url_for
+
+N_PAGES = 64
+
+
+def corpus_links():
+    return {
+        url_for(rid): extract_links(gen_page_html(rid, universe=N_PAGES), url_for(rid))
+        for rid in range(N_PAGES)
+    }
+
+
+# ---------------------------------------------------------------------
+# Bloom shard unit properties
+# ---------------------------------------------------------------------
+
+def test_bloom_no_false_negatives():
+    s = BloomShard.sized_for(1000, 1e-3)
+    urls = [f"https://h{i % 7}.x/p{i}" for i in range(1000)]
+    for u in urls:
+        s.add(u)
+    assert all(u in s for u in urls)
+
+
+def test_bloom_fp_rate_reasonable():
+    s = BloomShard.sized_for(1000, 1e-3)
+    for i in range(1000):
+        s.add(f"https://h.x/in{i}")
+    fps = sum(1 for i in range(10000) if f"https://h.x/out{i}" in s)
+    assert fps < 100  # 1e-3 design point, 10x slack
+
+
+def test_bloom_serialization_roundtrip_and_merge_idempotent():
+    a = BloomShard.sized_for(100)
+    b = BloomShard.sized_for(100)
+    for i in range(50):
+        a.add(f"u{i}")
+        b.add(f"v{i}")
+    a2 = BloomShard.from_bytes(a.to_bytes())
+    assert a2.bits == a.bits and a2.n_hashes == a.n_hashes
+    m1 = a.merge(b)
+    m2 = a.merge(b).merge(b)  # re-applying a batch leaves bits unchanged
+    assert m1.bits == m2.bits
+
+
+def test_shard_of_stable():
+    assert shard_of("https://x.y/z", 16) == shard_of("https://x.y/z", 16)
+    assert 0 <= shard_of("https://x.y/z", 16) < 16
+
+
+# ---------------------------------------------------------------------
+# Full crawl parity vs the sequential simulator
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def crawl_result(tmp_path_factory):
+    import tests.conftest  # noqa: F401  (spark fixture is session-scoped)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    assert spark is not None, "spark fixture must run first"
+    ck = str(tmp_path_factory.mktemp("ckpt"))
+    pages = pages_df(spark, N_PAGES)
+    seeds = [url_for(r) for r in (0, 1, 2, 3, 4, 6, 8, 10)]
+    cfg = CrawlConfig(ckpt_dir=ck, quota_per_host=16, max_depth=2, n_shards=8)
+    stats = run_crawl(spark, cfg, pages, robots=None, seed_urls=seeds, n_rounds=2)
+    return spark, ck, cfg, seeds, stats
+
+
+def _read_logs(spark, ck):
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(ck, "round=*", "fetch_log")))
+    paths = [p for p in paths if not p.endswith("round=-1/fetch_log")]
+    return spark.read.parquet(*paths)
+
+
+def test_crawl_parity_seen_set(spark, crawl_result):
+    spark_s, ck, cfg, seeds, stats = crawl_result
+    sim = simulate_crawl(
+        seeds,
+        corpus_links(),
+        SimConfig(quota_per_host=16, max_depth=2),
+        n_rounds=2,
+    )
+    log = _read_logs(spark_s, ck)
+    engine_seen = {r["url"] for r in log.select("url").collect()}
+    assert engine_seen == sim["seen"]
+
+
+def test_crawl_parity_per_host_order(spark, crawl_result):
+    spark_s, ck, cfg, seeds, stats = crawl_result
+    sim = simulate_crawl(
+        seeds, corpus_links(), SimConfig(quota_per_host=16, max_depth=2), n_rounds=2
+    )
+    log = (
+        _read_logs(spark_s, ck)
+        .orderBy("round_id", "host", "scheduled_offset_ms", "seq")
+        .select("host", "url")
+        .collect()
+    )
+    per_host: dict[str, list[str]] = {}
+    for r in log:
+        per_host.setdefault(r["host"], []).append(r["url"])
+    assert per_host == sim["per_host"]
+
+
+def test_crawl_resume_matches_uninterrupted(spark, crawl_result, tmp_path):
+    """Run rounds 0..1 as (round 0; resume round 1) and compare the full
+    state to the uninterrupted 2-round crawl."""
+    spark_s, ck, cfg, seeds, stats = crawl_result
+    ck2 = str(tmp_path / "ckpt2")
+    pages = pages_df(spark_s, N_PAGES)
+    cfg2 = CrawlConfig(ckpt_dir=ck2, quota_per_host=16, max_depth=2, n_shards=8)
+    run_crawl(spark_s, cfg2, pages, None, seeds, n_rounds=1)
+    assert last_committed_round(cfg2) == 0
+    run_crawl(spark_s, cfg2, pages, None, None, n_rounds=1, resume=True)
+    assert last_committed_round(cfg2) == 1
+
+    a = _read_logs(spark_s, ck).select("round_id", "url", "scheduled_offset_ms")
+    b = _read_logs(spark_s, ck2).select("round_id", "url", "scheduled_offset_ms")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_crawl_metrics_written(spark, crawl_result):
+    spark_s, ck, cfg, seeds, stats = crawl_result
+    m = spark_s.read.parquet(os.path.join(ck, "round=0", "metrics"))
+    assert m.count() > 0
+    assert set(m.columns) >= {"partition_id", "n_rows", "tokens", "round_id"}
+    assert stats[0]["scheduled"] > 0
+    # round 1 discovered new URLs from links
+    assert len(stats) == 2 and stats[1]["scheduled"] > 0

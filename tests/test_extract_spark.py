@@ -17,7 +17,7 @@ def test_spark_extraction_matches_oracle_byte_identical(spark):
 
     for rid in range(n):
         url = url_for(rid)
-        html = gen_page_html(rid)
+        html = gen_page_html(rid, universe=n)
         want = extract_page_record(html, url)
         got = rows[url]
         assert got["title"] == want["title"], url

@@ -1,0 +1,79 @@
+"""Deterministic partitioned Bloom filter shards (URL-seen sketch).
+
+Pure-Python, stdlib-only, byte-serializable. Hash family is
+``blake2b(url, salt=k)`` → deterministic across processes, engines and
+resume (no PYTHONHASHSEED dependence). No false negatives ever; the
+false-positive rate is configured by bits-per-item.
+
+Sharding: ``shard_id = xxhash-free stable hash(url) % n_shards`` using
+blake2b as well, so the same URL always probes the same shard. Shards
+are built per-partition with ``applyInPandas``, OR-merged on
+checkpoint (idempotent: re-adding a batch yields the same bits —
+SURVEY.md §7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterable
+
+
+def stable_hash64(s: str, seed: int = 0) -> int:
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "big")
+
+
+def shard_of(url: str, n_shards: int) -> int:
+    return stable_hash64(url, seed=0xFACADE % 256) % n_shards
+
+
+class BloomShard:
+    """Fixed-size Bloom filter over a bytearray."""
+
+    __slots__ = ("n_bits", "n_hashes", "bits", "n_items")
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: bytearray | None = None, n_items: int = 0):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = bits if bits is not None else bytearray((n_bits + 7) // 8)
+        self.n_items = n_items
+
+    @classmethod
+    def sized_for(cls, expected_items: int, fp_rate: float = 1e-4) -> "BloomShard":
+        n_bits = max(64, int(-expected_items * math.log(fp_rate) / (math.log(2) ** 2)))
+        n_hashes = max(1, int(round(n_bits / max(expected_items, 1) * math.log(2))))
+        return cls(n_bits, min(n_hashes, 16))
+
+    def _positions(self, url: str) -> Iterable[int]:
+        # Kirsch-Mitzenmacher double hashing
+        h1 = stable_hash64(url, seed=1)
+        h2 = stable_hash64(url, seed=2) | 1
+        for k in range(self.n_hashes):
+            yield (h1 + k * h2) % self.n_bits
+
+    def add(self, url: str) -> None:
+        for pos in self._positions(url):
+            self.bits[pos >> 3] |= 1 << (pos & 7)
+        self.n_items += 1
+
+    def __contains__(self, url: str) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(url))
+
+    def merge(self, other: "BloomShard") -> "BloomShard":
+        if (self.n_bits, self.n_hashes) != (other.n_bits, other.n_hashes):
+            raise ValueError("incompatible shard geometry")
+        merged = bytearray(a | b for a, b in zip(self.bits, other.bits))
+        return BloomShard(self.n_bits, self.n_hashes, merged, self.n_items + other.n_items)
+
+    # -- serialization (parquet BINARY column payload) -------------------
+    def to_bytes(self) -> bytes:
+        head = self.n_bits.to_bytes(8, "big") + self.n_hashes.to_bytes(2, "big") + self.n_items.to_bytes(8, "big")
+        return head + bytes(self.bits)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "BloomShard":
+        n_bits = int.from_bytes(raw[0:8], "big")
+        n_hashes = int.from_bytes(raw[8:10], "big")
+        n_items = int.from_bytes(raw[10:18], "big")
+        return cls(n_bits, n_hashes, bytearray(raw[18:]), n_items)

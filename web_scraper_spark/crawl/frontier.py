@@ -1,0 +1,208 @@
+"""Frontier construction and candidate filtering.
+
+Frontier schema (FIXTURES.md §2):
+    url, host, depth, priority, discovered_ts, round_id, status, seq
+
+The filter chain per round (all JVM-side except the Bloom probe):
+  P1 validity → P5 ignore-patterns → robots disallow (broadcast join,
+  J5) → URL-seen: Bloom-shard probe (no false negatives — sketch-
+  negative rows skip the exact join entirely) → exact anti-join for
+  sketch-positive candidates only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import columns as C
+from .bloom import BloomShard, shard_of
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("round_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ]
+)
+
+SEEN_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("round_id", T.IntegerType(), False),
+        T.StructField("sketch", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+    ]
+)
+
+
+def seeds_to_frontier(spark: SparkSession, urls: list[str], round_id: int = 0) -> DataFrame:
+    """S1: ordered seed list → round-0 frontier. ``seq`` preserves seed
+    order (the reference's processing order, contxt/cli.py:276)."""
+    rows = [(u, i) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, "url string, seq long")
+    return df.select(
+        "url",
+        C.url_host(F.col("url")).alias("host"),
+        F.lit(0).alias("depth"),
+        F.col("seq").cast("double").alias("priority"),
+        "seq",
+        F.lit(round_id).alias("round_id"),
+        F.lit("pending").alias("status"),
+    )
+
+
+def apply_url_filters(
+    frontier: DataFrame,
+    robots: DataFrame | None = None,
+    ignore_patterns: list[str] | None = None,
+) -> DataFrame:
+    """Validity + ignore-patterns + robots-disallow filters.
+
+    robots (small) is broadcast (J5); disallow prefixes are checked
+    with ``exists`` over the array — JVM-side."""
+    out = frontier.filter(C.is_valid_url(F.col("url")))
+    if ignore_patterns:
+        out = out.filter(~C.matches_ignore_patterns(F.col("url"), ignore_patterns))
+    if robots is not None:
+        path = C.url_path(F.col("url"))
+        disallowed = F.exists(
+            F.coalesce(F.col("disallow"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        out = (
+            out.join(F.broadcast(robots), "host", "left")
+            .filter(~disallowed)
+            .drop("disallow")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------
+# URL-seen sketch: build / merge / probe
+# ---------------------------------------------------------------------
+
+def build_seen_shards(
+    urls: DataFrame,
+    n_shards: int,
+    round_id: int,
+    expected_per_shard: int = 1 << 16,
+    fp_rate: float = 1e-4,
+) -> DataFrame:
+    """Build Bloom shards from a url column: one shuffle on shard_id,
+    one shard row per group (A9). Deterministic for a given row set —
+    idempotent on re-run (OR of the same bits)."""
+    url_col = urls.columns[0]
+
+    @F.pandas_udf(T.IntegerType())
+    def shard_udf(u: pd.Series) -> pd.Series:
+        return u.map(lambda x: shard_of(x, n_shards)).astype("int32")
+
+    with_shard = urls.select(
+        F.col(url_col).alias("url"), shard_udf(F.col(url_col)).alias("shard_id")
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = BloomShard.sized_for(expected_per_shard, fp_rate)
+        for u in pdf["url"]:
+            shard.add(u)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": int(key[0]),
+                    "round_id": round_id,
+                    "sketch": shard.to_bytes(),
+                    "n_items": shard.n_items,
+                }
+            ]
+        )
+
+    return with_shard.groupBy("shard_id").applyInPandas(build, SEEN_SHARD_SCHEMA)
+
+
+def merge_shard_tables(shards: DataFrame) -> DataFrame:
+    """OR-merge shard rows across rounds: groupBy shard_id, fold
+    sketches. Small data (n_shards rows after merge)."""
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: BloomShard | None = None
+        for raw in pdf["sketch"]:
+            s = BloomShard.from_bytes(bytes(raw))
+            acc = s if acc is None else acc.merge(s)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": int(key[0]),
+                    "round_id": int(pdf["round_id"].max()),
+                    "sketch": acc.to_bytes(),
+                    "n_items": acc.n_items,
+                }
+            ]
+        )
+
+    return shards.groupBy("shard_id").applyInPandas(merge, SEEN_SHARD_SCHEMA)
+
+
+def probe_seen(
+    candidates: DataFrame,
+    seen_shards: DataFrame | None,
+    seen_exact: DataFrame | None,
+    n_shards: int,
+) -> DataFrame:
+    """Filter out already-seen URLs.
+
+    1. Bloom probe via a broadcast of the (small) serialized shards —
+       mapInPandas, no shuffle. Sketch-negative rows are definitively
+       new (no false negatives) and bypass the join.
+    2. Exact ``left_anti`` join ONLY for sketch-positive rows — at
+       scale this is the rare path (FP rate + true repeats).
+    """
+    if seen_shards is None:
+        return candidates
+    spark = candidates.sparkSession
+    shard_rows = seen_shards.collect()
+    if not shard_rows:
+        return candidates
+    blob = {int(r["shard_id"]): bytes(r["sketch"]) for r in shard_rows}
+    bc = spark.sparkContext.broadcast(blob)
+
+    cols = candidates.columns
+    out_schema = T.StructType(candidates.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shards = {sid: BloomShard.from_bytes(raw) for sid, raw in bc.value.items()}
+        for pdf in batches:
+            flags = []
+            for u in pdf["url"]:
+                sh = shards.get(shard_of(u, n_shards))
+                flags.append(sh is not None and u in sh)
+            pdf = pdf.copy()
+            pdf["_maybe_seen"] = flags
+            yield pdf
+
+    probed = candidates.mapInPandas(probe, out_schema)
+    fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspects = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    if seen_exact is not None:
+        suspects = suspects.join(
+            seen_exact.select(F.col(seen_exact.columns[0]).alias("url")),
+            "url",
+            "left_anti",
+        )
+    return fresh.unionByName(suspects)

@@ -1,0 +1,284 @@
+"""Micro-batch crawl rounds with atomic checkpoints and resume.
+
+One round (the Spark re-expression of the reference's sequential
+per-URL loop, contxt/cli.py:276-307 — SURVEY.md §2.10):
+
+    frontier(pending) ──filters──▶ candidates ──seen-sketch──▶ fresh
+      ──politeness schedule──▶ scheduled ──J6 join pages──▶ fetched
+      ──extract UDF──▶ results + discovered links ──▶ frontier′
+
+State per round, checkpointed to ``<ckpt>/round=N/``:
+    frontier/    next round's pending rows (parquet)
+    seen/        exact seen URLs (parquet, appended each round)
+    shards/      Bloom shard rows (parquet, OR-merged)
+    host_state/  politeness virtual-clock carry-over
+    results/     extracted rows for the round
+    metrics/     per-partition lineage + counters
+    _COMMIT      empty marker written LAST → the round is atomic:
+                 a crash mid-round leaves no marker and resume replays
+                 the round from the previous committed state.
+
+Everything is plain parquet-dir checkpointing (the sandbox has no
+Iceberg jars); the commit protocol gives the same atomic-visibility
+property a real deployment would get from Iceberg snapshot commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import columns as C
+from ..functions.udfs import extract_pages
+from .frontier import (
+    FRONTIER_SCHEMA,
+    apply_url_filters,
+    build_seen_shards,
+    merge_shard_tables,
+    probe_seen,
+    seeds_to_frontier,
+)
+from .politeness import schedule_round
+
+
+@dataclass
+class CrawlConfig:
+    ckpt_dir: str
+    n_shards: int = 16
+    quota_per_host: int = 256
+    default_delay_ms: int = 1000
+    round_budget_ms: int | None = None
+    max_depth: int = 2
+    ignore_patterns: list[str] = field(default_factory=list)
+    expected_per_shard: int = 1 << 16
+    fp_rate: float = 1e-4
+
+
+def _round_dir(cfg: CrawlConfig, round_id: int) -> str:
+    return os.path.join(cfg.ckpt_dir, f"round={round_id}")
+
+
+def last_committed_round(cfg: CrawlConfig) -> int | None:
+    """Highest round with a _COMMIT marker, or None."""
+    best = None
+    if not os.path.isdir(cfg.ckpt_dir):
+        return None
+    for name in os.listdir(cfg.ckpt_dir):
+        if name.startswith("round="):
+            rid = int(name.split("=", 1)[1])
+            if os.path.exists(os.path.join(cfg.ckpt_dir, name, "_COMMIT")):
+                best = rid if best is None or rid > best else best
+    return best
+
+
+def _write(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def _read(spark: SparkSession, path: str, schema=None) -> DataFrame | None:
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def run_round(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    robots: DataFrame | None,
+    round_id: int,
+) -> dict:
+    """Execute one crawl round from the state committed at
+    ``round_id - 1`` and commit ``round=round_id``. Returns metrics."""
+    t0 = time.time()
+    prev = _round_dir(cfg, round_id - 1)
+    frontier = _read(spark, os.path.join(prev, "frontier"))
+    if frontier is None:
+        raise RuntimeError(f"no committed frontier at {prev}")
+    seen = _read(spark, os.path.join(prev, "seen"))
+    shards = _read(spark, os.path.join(prev, "shards"))
+    host_state = _read(spark, os.path.join(prev, "host_state"))
+
+    # -- filter chain (all JVM-side except the Bloom probe) -------------
+    candidates = apply_url_filters(
+        frontier.filter(F.col("status") == "pending").filter(F.col("depth") <= cfg.max_depth),
+        robots=robots,
+        ignore_patterns=cfg.ignore_patterns,
+    )
+    fresh = probe_seen(candidates, shards, seen, cfg.n_shards)
+
+    # -- politeness scheduling -----------------------------------------
+    delay_col = (
+        (F.col("crawl_delay") * 1000).cast("long")
+        if robots is not None and "crawl_delay" in candidates.columns
+        else F.lit(None).cast("long")
+    )
+    sched_in = fresh.select(
+        "url", "host", "depth", "priority", "seq", delay_col.alias("crawl_delay_ms")
+    )
+    schedule, new_host_state = schedule_round(
+        sched_in,
+        host_state,
+        quota_per_host=cfg.quota_per_host,
+        default_delay_ms=cfg.default_delay_ms,
+        round_budget_ms=cfg.round_budget_ms,
+    )
+    schedule = schedule.persist()
+
+    # -- fetch = J6 equi-join against the pages corpus ------------------
+    fetched = schedule.join(
+        pages.select("url", "html", F.col("warc_ts")), "url", "left"
+    ).withColumn("fetch_status", F.when(F.col("html").isNotNull(), "fetched").otherwise("failed"))
+
+    # -- extraction (one Arrow round-trip) ------------------------------
+    ok = fetched.filter(F.col("fetch_status") == "fetched")
+    failed = fetched.filter(F.col("fetch_status") == "failed").select(
+        "url", "host", "depth", "seq"
+    )
+    extracted = extract_pages(ok, html_col="html", url_col="url").persist()
+
+    rdir = _round_dir(cfg, round_id)
+    # fetch_log: the politeness-ordered fetch ledger for the round —
+    # the parity surface (per-host order) and the lineage record.
+    fetch_log = fetched.select(
+        "url", "host", "depth", "seq", "priority", "scheduled_offset_ms",
+        "fetch_status", F.lit(round_id).alias("round_id"),
+    )
+    _write(fetch_log, os.path.join(rdir, "fetch_log"))
+
+    # -- results + metrics ---------------------------------------------
+    results = extracted.select(
+        "url", "host", "depth", "seq", "scheduled_offset_ms",
+        "title", "text", "markdown", "token_count", "n_images",
+        F.lit(round_id).alias("round_id"),
+    )
+    _write(results, os.path.join(rdir, "results"))
+
+    # per-partition lineage + counters (S14/metrics table): which input
+    # partition produced how many rows, and the round provenance.
+    metrics = (
+        extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("token_count").alias("tokens"),
+            F.sum(F.length("markdown")).alias("md_bytes"),
+        )
+        .withColumn("round_id", F.lit(round_id))
+        .withColumn("src", F.lit("extracted"))
+    )
+    _write(metrics, os.path.join(rdir, "metrics"))
+
+    # -- seen state update ---------------------------------------------
+    scheduled_urls = schedule.select("url")
+    new_seen = scheduled_urls if seen is None else seen.select("url").unionByName(scheduled_urls).distinct()
+    _write(new_seen, os.path.join(rdir, "seen"))
+
+    new_shards = build_seen_shards(
+        scheduled_urls, cfg.n_shards, round_id, cfg.expected_per_shard, cfg.fp_rate
+    )
+    all_shards = new_shards if shards is None else merge_shard_tables(shards.unionByName(new_shards))
+    _write(all_shards, os.path.join(rdir, "shards"))
+    _write(new_host_state, os.path.join(rdir, "host_state"))
+
+    # -- next frontier: deferred pendings + discovered links ------------
+    scheduled_set = schedule.select("url")
+    deferred = (
+        frontier.filter(F.col("status") == "pending")
+        .join(scheduled_set, "url", "left_anti")
+    )
+    # Discovery ordering must be a pure function of the data, never of
+    # partitioning (SURVEY.md §7 hard-part 2): priority = (first
+    # discovering parent's seq, link position in that document); seq =
+    # stable hash of the url (unique tie-break, identical at any
+    # parallelism and across resume).
+    discovered_raw = extracted.select(
+        F.col("seq").alias("parent_seq"),
+        F.col("depth").alias("parent_depth"),
+        F.posexplode("links").alias("pos", "url"),
+    )
+    first_discovery = discovered_raw.groupBy("url").agg(
+        F.min(F.struct("parent_seq", "pos", "parent_depth")).alias("d")
+    )
+    discovered = (
+        first_discovery.select(
+            "url",
+            C.url_host(F.col("url")).alias("host"),
+            (F.col("d.parent_depth") + 1).cast("int").alias("depth"),
+            (F.col("d.parent_seq").cast("double") * 10000.0 + F.col("d.pos")).alias("priority"),
+            F.xxhash64("url").alias("seq"),
+        )
+        .withColumn("round_id", F.lit(round_id + 1))
+        .withColumn("status", F.lit("pending"))
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+        .join(new_seen, "url", "left_anti")
+    )
+    next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(discovered)
+    _write(next_frontier, os.path.join(rdir, "frontier"))
+
+    n_sched = schedule.count()
+    n_ok = extracted.count()
+    n_failed = failed.count()
+    n_next = next_frontier.count()
+    schedule.unpersist()
+    extracted.unpersist()
+
+    # atomic commit marker LAST
+    with open(os.path.join(rdir, "_COMMIT"), "w") as fh:
+        json.dump({"round_id": round_id, "wall_s": time.time() - t0}, fh)
+
+    return {
+        "round_id": round_id,
+        "scheduled": n_sched,
+        "fetched": n_ok,
+        "failed": n_failed,
+        "next_frontier": n_next,
+        "wall_s": time.time() - t0,
+    }
+
+
+def init_crawl(
+    spark: SparkSession, cfg: CrawlConfig, seed_urls: list[str]
+) -> None:
+    """Write the round=-0 bootstrap state (frontier only)."""
+    rdir = _round_dir(cfg, -1)
+    _write(seeds_to_frontier(spark, seed_urls), os.path.join(rdir, "frontier"))
+    with open(os.path.join(rdir, "_COMMIT"), "w") as fh:
+        json.dump({"round_id": -1, "bootstrap": True}, fh)
+
+
+def run_crawl(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    robots: DataFrame | None,
+    seed_urls: list[str] | None,
+    n_rounds: int,
+    resume: bool = False,
+) -> list[dict]:
+    """Run (or resume) a crawl for up to ``n_rounds`` rounds.
+
+    Resume reads the last committed round and continues — a crashed
+    round (no _COMMIT) is replayed identically (all inputs are the
+    previous round's immutable committed state)."""
+    if resume:
+        last = last_committed_round(cfg)
+        if last is None:
+            raise RuntimeError("nothing to resume")
+        start = last + 1
+    else:
+        if seed_urls is None:
+            raise ValueError("seed_urls required for a fresh crawl")
+        init_crawl(spark, cfg, seed_urls)
+        start = 0
+    stats = []
+    for rid in range(start, start + n_rounds):
+        m = run_round(spark, cfg, pages, robots, rid)
+        stats.append(m)
+        if m["scheduled"] == 0:
+            break
+    return stats

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..html.clean import clean_html, extract_images
+from ..html.clean import clean_html, extract_images, extract_links
 from ..html.markdown import html_to_markdown
 
 IMAGE_STRUCT = T.StructType(
@@ -41,6 +41,7 @@ EXTRACTED_STRUCT = T.StructType(
         T.StructField("og_description", T.StringType()),
         T.StructField("og_image", T.StringType()),
         T.StructField("images", T.ArrayType(IMAGE_STRUCT)),
+        T.StructField("links", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -64,6 +65,7 @@ def extract_page_record(html: str, url: str) -> dict:
         "og_description": og.get("og_description"),
         "og_image": og.get("og_image"),
         "images": extract_images(html, url),
+        "links": extract_links(html, url),
     }
 
 

@@ -180,6 +180,26 @@ def extract_images(html: str, base_url: str) -> list[dict]:
     return images
 
 
+def extract_links(html: str, base_url: str) -> list[str]:
+    """Document-order <a href> targets, urljoin'd absolute — the
+    frontier-expansion source (link traversal mirrors the markdown
+    formatter's ``a`` handling, contxt/formatters/
+    markdown_formatter.py:166-169; crawl expansion is the reference's
+    declared-but-unbuilt max_depth capability, contxt/config.py:20).
+    Only http(s) results are returned; fragments are dropped."""
+    doc = parse_html(html)
+    out = []
+    for a in doc.find_all("a"):
+        href = a.get("href")
+        if not href:
+            continue
+        absu = urljoin(base_url, href)
+        absu = absu.split("#", 1)[0]
+        if absu.startswith(("http://", "https://")):
+            out.append(absu)
+    return out
+
+
 _TAG_RE = re.compile(r"<[^>]+>")
 
 

@@ -1,0 +1,293 @@
+"""Deduplication family for large-scale text corpora.
+
+Extends the reference's hash-dedup semantics (MD5 content dedup,
+contxt/scraper.py:462-474; first-seen text dedup,
+contxt/scraper.py:345-363) to the operators a 100 TB training-data
+pipeline needs: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale design:
+- Exact dedup: one hash-exchange on the digest; map-side partial agg.
+- MinHash signatures: computed entirely JVM-side with
+  ``transform``/``array_min`` over the token array — NO explode, NO
+  shuffle for signature building. Only candidate pairing shuffles
+  (on LSH band keys), and each band bucket is tiny by construction.
+- Jaccard verification runs only on LSH candidates, never all pairs.
+- The hash family is ``md5(token ∥ '#' ∥ seed)`` with *lexicographic*
+  min over hex digests — deterministic, engine-portable (identical in
+  DuckDB for the oracle), and uniform enough for banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import first_seen_dedup
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalization used by all dedup flavors: lowercase, collapse
+    whitespace, trim (reference F4 semantics, contxt/scraper.py:317)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min_id"
+) -> DataFrame:
+    """Exact dedup on md5 of normalized text (J3 analog,
+    contxt/scraper.py:462-474). Keeps the lowest id per digest —
+    deterministic at any parallelism."""
+    digest = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    with_hash = df.select("*", digest)
+    return first_seen_dedup(with_hash, ["content_hash"], [F.col(id_col)])
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Word n-gram shingle array (distinct), JVM-side: zip the token
+    array against its shifts. n=1 → distinct tokens."""
+    toks = F.split(normalize_text(col), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    # shingle i = tokens[i..i+n-1]; build via transform over indices
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
+    return F.array_distinct(
+        F.when(size >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+        .otherwise(F.array())
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int, shingle_n: int = 1) -> Column:
+    """MinHash signature as an array of hex-digest minima.
+
+    sig[k] = min over shingles s of md5(s ∥ '#' ∥ k). Lexicographic
+    min over md5 hex is a valid uniform hash family and is portable
+    to the SQL oracle. Entirely expression-level — no shuffle."""
+    sh = word_shingles(col, shingle_n)
+
+    def hash_k(k: int):
+        tag = f"#{k}"
+        # NB: must stay a unary lambda — F.transform treats a binary
+        # lambda as (element, index), silently shadowing a default arg.
+        return lambda s: F.md5(F.concat(s, F.lit(tag)))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hash_k(k))) for k in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` rows of
+    ``num_hashes/bands`` values, hash each band, self-join per band
+    bucket. Returns distinct (id_a < id_b) candidate pairs.
+
+    The only shuffle is on (band_idx, band_hash); bucket sizes are
+    bounded by collision probability, so the self-join never reverts
+    to a cross product. At extreme scale add a bucket-size cap filter
+    before the join (hot-bucket guard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 1,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity pairs ≥ threshold.
+
+    With ``candidates`` (e.g. from LSH) the exact check runs only on
+    those pairs (broadcast-friendly). Without, it builds an inverted
+    shingle index (explode → self-join on shingle → count commons):
+    |A∩B| from the index, |A∪B| = |A|+|B|−|A∩B|. Never a cross join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+    if candidates is not None:
+        pairs = (
+            candidates.join(
+                sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")),
+                "id_b",
+            )
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        )
+    else:
+        inv = sh.select("id", "n_sh", F.explode("sh").alias("tok"))
+        a = inv.alias("a")
+        b = inv.alias("b")
+        pairs = (
+            a.join(b, "tok")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
+            )
+            .agg(F.count("*").alias("common"))
+        )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(col: Column, shingle_n: int = 1) -> Column:
+    """64-bit SimHash fingerprint, JVM-side.
+
+    Per shingle, ``xxhash64`` gives 64 bits; each bit votes ±1; the
+    fingerprint sets bits with positive vote sums. Built from
+    ``transform``+``aggregate`` over the shingle array — no shuffle,
+    no Python. (xxhash64 has no DuckDB twin, so correctness checks for
+    this operator are Spark-internal — see tests.)"""
+    sh = word_shingles(col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote_fn(bit: int):
+        mask = F.shiftleft(F.lit(1).cast("long"), bit)
+        # binary (acc, h) lambda built per bit via closure — NOT via a
+        # default arg, which would change the lambda's arity for
+        # F.aggregate's merge function.
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        votes = F.aggregate(hashes, F.lit(0), vote_fn(bit))
+        out = out.bitwiseOR(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Candidate generation by 4-way block banding (Charikar/Manku-style):
+    split the 64-bit fingerprint into 4 16-bit blocks; any pair within
+    Hamming ≤ 3 agrees on ≥1 block, so join per (block_idx, block).
+    Shuffles only on small block keys."""
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    blocks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("fp", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", "b.blk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(b, on=["blk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold).
+
+    With ``bucket_col`` (e.g. an IVF/LSH bucket or a label) the
+    self-join is restricted per bucket — the scale path. Without, it
+    is all-pairs and only suitable for ≤10^4 rows per partition.
+    Cosine is computed in double precision via zip_with+aggregate —
+    JVM-side, codegen-friendly."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        norm.alias("nrm"),
+        *( [F.col(bucket_col).alias("bkt")] if bucket_col else [F.lit(0).alias("bkt")] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, on="bkt")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery (schemas, partition-aware batch iteration,
+Arrow-batched UDF signatures, metadata propagation) is real and
+tested; the codec step is stubbed behind ``DecodeUnavailable`` /
+deterministic fakes because no image/audio libraries exist in this
+environment. Swapping in a real decoder is a one-function change.
+
+This generalizes the reference's image handling (download → MD5 →
+dedup → extension-normalized sink, contxt/scraper.py:428-502) to a
+columnar representation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real-decoder seam: codec libraries are not
+    installed in this environment."""
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
+    raise DecodeUnavailable("image codecs (PIL/opencv) not available; see module docstring")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode for plumbing tests: derives
+    (width, height, n_frames) from the content hash — stable across
+    partitionings and engines."""
+    h = hashlib.md5(payload or b"").digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
+
+
+def extract_media_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """media table → per-item features via ``mapInPandas``.
+
+    Batch shape: one Arrow batch in, one out; payload bytes never land
+    in JVM rows after this projection (column pruned upstream). The
+    decode seam calls the deterministic fake; a real pipeline swaps
+    ``_fake_decode`` for a codec call with identical signature.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                payload = bytes(payload) if payload is not None else b""
+                w, h, nf = _fake_decode(payload)
+                feat = [float((b % 17)) / 16.0 for b in hashlib.md5(payload).digest()[:8]]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "content_hash": hashlib.md5(payload).hexdigest(),
+                        "n_bytes": len(payload),
+                        "width": w if row["kind"] == "image" else None,
+                        "height": h if row["kind"] == "image" else None,
+                        "n_frames": nf if row["kind"] == "video" else None,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_dedup(features: DataFrame) -> DataFrame:
+    """Content-hash dedup of media items (J3 semantics at media scale):
+    keep lowest media_id per digest, count duplicates — one shuffle on
+    the digest."""
+    from .relational import first_seen_dedup
+
+    winners = first_seen_dedup(features, ["content_hash"], [F.col("media_id")])
+    counts = features.groupBy("content_hash").agg(F.count("*").alias("copies"))
+    return winners.join(counts, "content_hash")
+
+
+def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payloads from md5 chains),
+    generated executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ("image", "audio", "video")
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"].tolist():
+                rid = int(rid)
+                payload = hashlib.md5(f"{seed}:{rid // 3}".encode()).digest() * (1 + rid % 5)
+                kind = kinds[rid % 3]
+                rows.append(
+                    {
+                        "media_id": rid,
+                        "kind": kind,
+                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                        "payload": payload,
+                        "meta": {"seed": str(seed)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(0, n, numPartitions=max(1, n // 512 or 1)).mapInPandas(gen, MEDIA_SCHEMA)

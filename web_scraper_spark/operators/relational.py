@@ -1,0 +1,170 @@
+"""Relational operator patterns (SURVEY.md §2.3-§2.7).
+
+Each function is a DataFrame→DataFrame transformation built purely from
+built-in expressions so Catalyst plans it (no Python in the data path).
+Scale notes are in each docstring — these run on 100 TB inputs, so the
+shuffle structure is the design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    boundaries: DataFrame,
+    key: str,
+    probe_ts: str,
+    boundary_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (J2 analog: assign each transcript line the last
+    chapter whose start_time <= t, contxt/youtube_handler.py:72-113).
+
+    Implemented as union + window ``last(ignorenulls)`` rather than a
+    range join: one shuffle on ``key``, no O(n·m) interval explosion,
+    and AQE can still split skewed keys. Rows of ``probe`` get, for
+    each value column ``v``, ``asof_v`` = value from the most recent
+    boundary at-or-before the probe timestamp (backward direction).
+
+    Boundary-vs-probe ordering at equal timestamps: boundaries sort
+    first, so a boundary exactly at the probe time wins (the
+    reference's ``>=`` cursor advance).
+    """
+    if direction != "backward":
+        raise ValueError("only backward as-of is implemented")
+
+    b = boundaries.select(
+        F.col(key).alias(key),
+        F.col(boundary_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(f"_b_{v}") for v in value_cols],
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(f"_p_{c}")
+            for c in probe.columns
+        ],
+    )
+    p = probe.select(
+        F.col(key).alias(key),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(boundaries.schema[v].dataType).alias(f"_b_{v}") for v in value_cols],
+        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = b.unionByName(p).select(
+        "*",
+        *[
+            F.last(f"_b_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in value_cols
+        ],
+    )
+    out = joined.filter(F.col("_side") == 1).select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
+        *[F.col(f"asof_{v}") for v in value_cols],
+    )
+    return out
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W1/L1/L2: deterministic per-group top-k via ``row_number``
+    (contxt/youtube_handler.py:151-156 top-30 comments;
+    :167-171 playlistend cap). Callers must include a unique
+    tie-breaker in ``order_by`` for determinism.
+
+    One shuffle on the group key. At 100 TB, prefer this over
+    ``orderBy().limit()`` per group — Spark plans a single hash
+    exchange + in-partition sort, and AQE handles group skew.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def first_seen_dedup(
+    df: DataFrame, dedup_cols: list[str], order_by: list[Column]
+) -> DataFrame:
+    """A5/SO1: global first-occurrence dedup (reference's
+    seen-set over <li> text, contxt/scraper.py:345-363) —
+    ``row_number() == 1`` over (dedup key, arrival order)."""
+    w = Window.partitionBy(*dedup_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def collision_numbering(
+    df: DataFrame, key_col: str, order_by: list[Column], out_col: str = "final_name"
+) -> DataFrame:
+    """W5/S11: filename-collision suffixing ``_1, _2, …``
+    (contxt/outputs.py:130-135) as a window — the reference's
+    filesystem-existence loop becomes a pure function of the batch."""
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        out_col,
+        F.when(rn == 1, F.col(key_col)).otherwise(
+            F.concat(F.col(key_col), F.lit("_"), (rn - 1).cast("string"))
+        ),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """W4 analog (adjacent-run grouping, contxt/scraper.py:365-405,
+    re-expressed relationally): mark run starts with ``lag``, build
+    run ids with a running sum. One shuffle on ``key``."""
+    w_order = Window.partitionBy(key).orderBy(ts_col)
+    secs = F.col(ts_col).cast("timestamp_ltz").cast("long") if dict(df.dtypes)[ts_col].startswith("timestamp") else F.col(ts_col).cast("long")
+    gap = secs - F.lag(secs).over(w_order)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("_new", is_new).withColumn(
+        session_col,
+        F.sum("_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new")
+
+
+def combined_document(
+    df: DataFrame, content_col: str, order_by: list[Column]
+) -> DataFrame:
+    """A7: combine-documents fold with the reference's separator quirk
+    (Q6): ``"\\n\\n" + "="*50 + "\\n\\n".join(contents)`` — the ruler
+    appears once, then plain blank-line joins (contxt/cli.py:316-318).
+    Single-row result. Ordering is made shuffle-safe by collecting
+    (order-key, content) structs and ``array_sort``-ing before the
+    fold — ``collect_list`` order is otherwise nondeterministic across
+    partial aggregation."""
+    pairs = df.select(F.struct(*order_by, F.col(content_col).alias("_c")).alias("_s"))
+    return pairs.agg(
+        F.concat(
+            F.lit("\n\n" + "=" * 50),
+            F.concat_ws(
+                "\n\n",
+                F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["_c"]),
+            ),
+        ).alias("combined")
+    )

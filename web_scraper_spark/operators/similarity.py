@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact). Scale path: IVF-style
+bucketed search — assign vectors to coarse centroids, probe only the
+nearest ``nprobe`` buckets. All distance math is JVM-side
+(``zip_with``/``aggregate`` in double precision); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (the expected shape: few queries × huge
+    corpus), so the corpus never shuffles for the join — one exchange
+    on query_id for the top-k window only. Ties broken by neighbor id
+    for determinism at any parallelism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to)
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame, cent_id: str = "centroid_id"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    ``centroids`` (small) is broadcast; assignment is a broadcast
+    join + per-row argmax — no shuffle of the corpus. This is the
+    build step of an IVF index; persist the result partitioned by
+    centroid for repeated queries."""
+    c = centroids.select(
+        F.col(cent_id).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    v = df.withColumn("_v", _as_double(F.col(vec_col))).withColumn("_n", _norm(F.col("_v")))
+    cos = _dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    scored = v.crossJoin(F.broadcast(c)).withColumn("_cos", cos)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_v", "_n", "_cv", "_cn", "_cos")
+        .withColumnRenamed("_cid", "centroid_id")
+    )
+
+
+def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Mean vector per label — a cheap deterministic centroid set
+    (k-means would converge here; labels give the partition directly).
+    Per-dimension means via posexplode + groupBy — one shuffle."""
+    dim = F.size(F.col(vec_col))
+    exploded = df.select(
+        F.col(label_col).alias("centroid_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    means = exploded.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "centroid_id",
+            F.transform("pm", lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k: probe only the ``nprobe`` nearest centroids' buckets.
+
+    corpus_assigned must carry ``centroid_id`` (from :func:`ivf_assign`).
+    Query→bucket fan-out is a broadcast of (query × nprobe) rows; the
+    corpus-side join is an equi-join on centroid_id, so at 100 TB each
+    task reads only its bucket — the brute-force cross join never
+    materializes."""
+    q_assigned = ivf_assign_topn(queries, vec_col, id_col, centroids, nprobe)
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus_assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    pairs = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to)
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign_topn(
+    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame, n: int
+) -> DataFrame:
+    """Top-n nearest centroids per vector (the nprobe fan-out)."""
+    c = centroids.select(
+        F.col("centroid_id").alias("_cid"), _as_double(F.col("centroid")).alias("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    v = df.withColumn("_v", _as_double(F.col(vec_col))).withColumn("_n", _norm(F.col("_v")))
+    cos = _dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    scored = v.crossJoin(F.broadcast(c)).withColumn("_cos", cos)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn", "_v", "_n", "_cv", "_cn", "_cos")
+        .withColumnRenamed("_cid", "centroid_id")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-profile heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace and a
+BPE-ish regex), and document fingerprinting (normalized-hash +
+positional rolling hash). Everything is a Column expression —
+JVM-side, shuffle-free, and oracle-checkable in ANSI SQL.
+
+Token-count semantics extend the reference's two counters:
+whitespace word count (contxt/scraper.py:533-534,624-625) and the
+``len(text)//4`` estimator fallback (contxt/scraper.py:423-426).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small + deterministic; this is a heuristic operator, not
+# a model. Scores are whole-word match counts.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "que", "por", "con"),
+}
+
+
+def _word_count(text: Column, word: str) -> Column:
+    # whole-word occurrences; regexp_count exists in Spark 3.4+ / DuckDB
+    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_word_count(text, w) for w in words), F.lit(0))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def detect_lang(text: Column, default: str = "und") -> Column:
+    """Argmax of stopword-profile scores; ties broken by language code
+    order (deterministic); all-zero → ``default``."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    best = F.array_min(pairs)  # struct compare: lowest neg = highest score
+    return F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """A2/A3 semantics: ``len(text.split())`` — count of
+    whitespace-separated words (contxt/scraper.py:533-534)."""
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits runs +
+    punctuation singletons (a gpt2-style pretokenizer regex subset)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def char_token_estimate(text: Column) -> Column:
+    """Reference fallback estimator: len // 4 (contxt/scraper.py:426)."""
+    return (F.length(text) / 4).cast("int")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features: char/word counts, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    n_chars = F.length(text)
+    n_words = whitespace_token_count(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    n_stop = sum((_word_count(text, w) for w in LANG_PROFILES["en"]), F.lit(0))
+    n_upper = F.regexp_count(text, F.lit(r"[A-Z]"))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_words = F.greatest(n_words, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(n_chars.cast("double") / safe_words, 4),
+        "punct_ratio": F.round(n_punct.cast("double") / safe_chars, 4),
+        "stopword_ratio": F.round(n_stop.cast("double") / safe_words, 4),
+        "upper_ratio": F.round(n_upper.cast("double") / safe_chars, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards mid-length documents and
+    stopword presence, penalizes punctuation soup and shouting.
+    Deterministic, monotone in each feature; thresholds are the
+    C4/Gopher-style rules of thumb."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_words"] >= 10) & (f["n_words"] <= 100000), 0.4).otherwise(0.0)
+    stop_ok = F.when(f["stopword_ratio"] >= 0.01, 0.3).otherwise(0.0)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 0.2).otherwise(0.0)
+    upper_ok = F.when(f["upper_ratio"] <= 0.3, 0.1).otherwise(0.0)
+    return F.round(length_ok + stop_ok + punct_ok + upper_ok, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the normalized text — the
+    content-identity key used by exact dedup and the URL-seen family
+    (reference analog: md5 content hash, contxt/scraper.py:464)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def positional_fingerprint(text: Column, window: int = 8) -> Column:
+    """Rolling positional fingerprint: md5 of every ``window``-word
+    shingle, folded with xor-ish min — a winnowing-style document
+    sketch that survives local edits. Returns the lexicographic min
+    digest (portable to the SQL oracle)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(size - window, F.lit(0)))
+    digests = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return F.array_min(digests)

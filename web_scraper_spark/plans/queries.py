@@ -1,0 +1,764 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage).
+
+Every SQL-expressible operator gets a Spark implementation AND a
+DuckDB-runnable ANSI-SQL oracle with *identical output column names*
+(the driver sorts columns by name and value-hashes — aliases must
+line up on both sides).
+
+Engine-portability rules used throughout:
+- money/metric sums → integer cents (``sum(round(x*100)::bigint)``):
+  order-independent, hash-stable across engines;
+- hashes → md5 hex strings (identical in Spark and DuckDB);
+- ratios → ``round(x, 4)`` computed from integer counts;
+- timestamps → epoch seconds as BIGINT;
+- every ranking carries a unique tie-breaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import columns as C
+from ..operators import dedup as D
+from ..operators import relational as R
+from ..operators import similarity as S
+from ..operators import text as TX
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def cents(col) -> F.Column:
+    """Integer-cents accumulator: order-independent, engine-portable."""
+    return F.sum(F.round(col * 100).cast("long"))
+
+
+def epoch_s(col) -> F.Column:
+    """Epoch seconds from a (possibly NTZ) timestamp — session tz is
+    pinned to UTC so NTZ→LTZ is the identity wall-clock mapping,
+    matching DuckDB's epoch() on naive timestamps."""
+    return col.cast("timestamp_ltz").cast("long")
+
+
+# =====================================================================
+# A1 — run-stats aggregate (contxt/cli.py:243-251,286-297): the TPC-H
+# Q1-shaped partial+final hash aggregation.
+# =====================================================================
+@query(
+    "q01_run_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+           sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_disc_c
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_run_stats(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        cents(F.col("l_quantity")).alias("sum_qty_c"),
+        cents(F.col("l_extendedprice")).alias("sum_price_c"),
+        cents(F.col("l_discount")).alias("sum_disc_c"),
+    )
+
+
+# =====================================================================
+# J1/J5 — broadcast dimension join (image-map/robots lookup analog,
+# contxt/formatters/markdown_formatter.py:76-81, cli.py:56-67).
+# =====================================================================
+@query(
+    "q02_broadcast_dims",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS sum_bal_c
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q02_broadcast_dims(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            cents(F.col("c_acctbal")).alias("sum_bal_c"),
+        )
+    )
+
+
+# =====================================================================
+# J6/J3 — anti join (URL-seen / 404-analog, contxt/scraper.py:467).
+# =====================================================================
+@query(
+    "q03_unseen_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q03_unseen_anti_join(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# =====================================================================
+# SO2 — semi join (seen-hash membership, contxt/scraper.py:467).
+# =====================================================================
+@query(
+    "q04_seen_semi_join",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def q04_seen_semi_join(spark, sf_dir):
+    p = _load(spark, sf_dir, "part")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# =====================================================================
+# W1/L1 — per-group top-k (top-30 comments by likes,
+# contxt/youtube_handler.py:151-156).
+# =====================================================================
+@query(
+    "q05_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def q05_topk_per_group(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    ranked = R.topk_per_group(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+    return ranked.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "rank",
+    )
+
+
+# =====================================================================
+# L1 global top-k — sorted(key=-like_count)[:30]
+# (contxt/youtube_handler.py:152-156).
+# =====================================================================
+@query(
+    "q06_global_topk",
+    oracle="""
+    SELECT event_id, CAST(round(value*100) AS BIGINT) AS value_c
+    FROM events ORDER BY value DESC, event_id LIMIT 30
+    """,
+)
+def q06_global_topk(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(30)
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("value_c"))
+    )
+
+
+# =====================================================================
+# J2/W6 — as-of join (transcript-line → chapter assignment,
+# contxt/youtube_handler.py:72-113): each 'click' gets the most recent
+# 'signup' at-or-before it per user.
+# =====================================================================
+@query(
+    "q07_asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           (SELECT CAST(floor(epoch(max(s.ts))) AS BIGINT) FROM events s
+             WHERE s.event_type = 'signup' AND s.user_id = c.user_id
+               AND s.ts <= c.ts) AS asof_boundary_ts
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def q07_asof_join(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+        .withColumn("boundary_ts", epoch_s(F.col("ts")))
+    )
+    out = R.asof_join(
+        clicks, signups, key="user_id", probe_ts="ts", boundary_ts="ts",
+        value_cols=["boundary_ts"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_boundary_ts").alias("asof_boundary_ts")
+    )
+
+
+# =====================================================================
+# W4 analog — sessionization (adjacent-run grouping,
+# contxt/scraper.py:365-405 re-expressed relationally).
+# =====================================================================
+@query(
+    "q08_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def q08_sessionize(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    # tie-break equal timestamps by event_id for full determinism
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_s(F.col("ts")) - F.lag(epoch_s(F.col("ts"))).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("_n", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("_n").cast("long").alias("n_sessions"))
+    )
+
+
+# =====================================================================
+# A5/SO1 — first-seen dedup (li text seen-set, contxt/scraper.py:345-363).
+# =====================================================================
+@query(
+    "q09_first_seen_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT lang, count(*) AS n_unique FROM ranked WHERE rn = 1 GROUP BY lang
+    """,
+)
+def q09_first_seen_dedup(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    normed = d.withColumn("_k", D.normalize_text(F.col("text")))
+    kept = R.first_seen_dedup(normed, ["_k"], [F.col("doc_id")])
+    return kept.groupBy("lang").agg(F.count("*").alias("n_unique"))
+
+
+# =====================================================================
+# W5/S11 — collision numbering (contxt/outputs.py:130-135).
+# =====================================================================
+@query(
+    "q10_collision_numbering",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN rn = 1 THEN source
+                ELSE source || '_' || CAST(rn - 1 AS VARCHAR) END AS final_name
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+    """,
+)
+def q10_collision_numbering(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    out = R.collision_numbering(d, "source", [F.col("doc_id")])
+    return out.select("doc_id", "final_name")
+
+
+# =====================================================================
+# F16/F3 — filename derivation from URL (contxt/outputs.py:103-113,
+# utils.py:15-24). URLs synthesized deterministically from doc fields;
+# Spark side uses real parse_url, oracle reconstructs relationally.
+# =====================================================================
+@query(
+    "q11_filename_from_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com_docs_' || lang || '_' || CAST(doc_id AS VARCHAR) AS fname
+    FROM documents
+    """,
+)
+def q11_filename_from_url(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", C.filename_from_url(url).alias("fname"))
+
+
+# =====================================================================
+# A2/A3/A4 — the three token counters (contxt/scraper.py:533-534,
+# :624-625, :423-426) + BPE-ish estimate.
+# =====================================================================
+@query(
+    "q12_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           CAST(floor(length(text) / 4) AS INT) AS char_est
+    FROM documents
+    """,
+)
+def q12_token_counts(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+        TX.char_token_estimate(F.col("text")).alias("char_est"),
+    )
+
+
+# =====================================================================
+# Text analysis — language-ID heuristic.
+# =====================================================================
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang in sorted(TX.LANG_PROFILES):
+        words = TX.LANG_PROFILES[lang]
+        parts = " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+        )
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    langs = sorted(TX.LANG_PROFILES)
+    # argmax with tie-break by language-code order
+    best = "CASE "
+    for lang in langs:
+        others = [f"s_{lang} >= s_{o}" for o in langs if o < lang]
+        others += [f"s_{lang} > s_{o}" for o in langs if o > lang]
+        cond = " AND ".join([f"s_{lang} > 0"] + others) if others else f"s_{lang} > 0"
+        best += f"WHEN {cond} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents)
+    SELECT doc_id, {best} AS pred_lang FROM scored
+    """
+
+
+@query("q13_lang_detect", oracle=_langid_oracle())
+def q13_lang_detect(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.detect_lang(F.col("text")).alias("pred_lang"))
+
+
+# =====================================================================
+# Text analysis — quality features + composite score.
+# =====================================================================
+@query(
+    "q14_quality",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_words,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        (len(regexp_extract_all(lower(text),'\\bthe\\b'))
+         + len(regexp_extract_all(lower(text),'\\band\\b'))
+         + len(regexp_extract_all(lower(text),'\\bof\\b'))
+         + len(regexp_extract_all(lower(text),'\\bto\\b'))
+         + len(regexp_extract_all(lower(text),'\\bin\\b'))
+         + len(regexp_extract_all(lower(text),'\\bis\\b'))
+         + len(regexp_extract_all(lower(text),'\\bthat\\b'))
+         + len(regexp_extract_all(lower(text),'\\bwith\\b'))) AS n_stop,
+        len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+      FROM documents)
+    SELECT doc_id, n_chars, n_words,
+      round(CAST(n_chars AS DOUBLE)/greatest(n_words,1), 4) AS mean_word_len,
+      round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 4) AS punct_ratio,
+      round(CAST(n_stop AS DOUBLE)/greatest(n_words,1), 4) AS stopword_ratio,
+      CAST(round(
+        (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.4 ELSE 0 END)
+        + (CASE WHEN round(CAST(n_stop AS DOUBLE)/greatest(n_words,1),4) >= 0.01 THEN 0.3 ELSE 0 END)
+        + (CASE WHEN round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1),4) <= 0.2 THEN 0.2 ELSE 0 END)
+        + (CASE WHEN round(CAST(n_upper AS DOUBLE)/greatest(n_chars,1),4) <= 0.3 THEN 0.1 ELSE 0 END)
+      , 4) AS DOUBLE) AS quality
+    FROM f
+    """,
+)
+def q14_quality(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    f = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_words"].alias("n_words"),
+        f["mean_word_len"].alias("mean_word_len"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# =====================================================================
+# F14/J3 — md5 fingerprint + duplicate counting (contxt/scraper.py:464).
+# =====================================================================
+@query(
+    "q15_fingerprint",
+    oracle="""
+    SELECT md5(trim(lower(regexp_replace(text,'\\s+',' ','g')))) AS fp,
+           count(*) AS copies, min(doc_id) AS first_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def q15_fingerprint(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("copies"), F.min("doc_id").alias("first_doc")
+    )
+
+
+# =====================================================================
+# MinHash signature (first component) — md5-lex-min hash family,
+# engine-portable.
+# =====================================================================
+@query(
+    "q16_minhash_sig",
+    oracle="""
+    SELECT doc_id,
+      list_min(list_transform(
+        list_distinct(string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ')),
+        s -> md5(s || '#0'))) AS sig0
+    FROM documents
+    """,
+)
+def q16_minhash_sig(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    sig = D.minhash_signature(F.col("text"), num_hashes=1)
+    return d.select("doc_id", F.element_at(sig, 1).alias("sig0"))
+
+
+# =====================================================================
+# n-gram Jaccard dup pairs — exact, via inverted shingle index.
+# Restricted to doc_id < 300 to keep the oracle cheap.
+# =====================================================================
+@query(
+    "q17_jaccard_pairs",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ')) AS toks
+      FROM documents WHERE doc_id < 300),
+    inv AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1,2,3,4)
+    SELECT id_a, id_b, round(CAST(common AS DOUBLE)/(na+nb-common), 6) AS jaccard
+    FROM pairs WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.5
+    """,
+)
+def q17_jaccard_pairs(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, shingle_n=1)
+
+
+# =====================================================================
+# SO3 — union/append (contxt/cli.py:242,284).
+# =====================================================================
+@query(
+    "q20_union_append",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM (
+      SELECT event_type FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_type FROM events WHERE event_type = 'purchase'
+    ) GROUP BY event_type
+    """,
+)
+def q20_union_append(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type") == "click").select("event_type").unionByName(
+        e.filter(F.col("event_type") == "purchase").select("event_type")
+    )
+    return u.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# W6 — chapter-cursor carry-forward: last purchase value at-or-before
+# each event, per user (contxt/youtube_handler.py:100-104 pattern).
+# =====================================================================
+@query(
+    "q21_carry_forward",
+    oracle="""
+    SELECT event_id,
+           CAST(round(last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) AS BIGINT)
+           AS last_purchase_c
+    FROM events
+    """,
+)
+def q21_carry_forward(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        F.round(F.last(pv, ignorenulls=True).over(w) * 100).cast("long").alias("last_purchase_c"),
+    )
+
+
+# =====================================================================
+# W3 — positional index within container (Video {i+1},
+# contxt/scraper.py:577).
+# =====================================================================
+@query(
+    "q22_position_index",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+)
+def q22_position_index(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).alias("seq"))
+
+
+# =====================================================================
+# A7 — combined-documents fold with the Q6 separator quirk
+# (contxt/cli.py:316-318); md5 of the fold keeps the row small.
+# =====================================================================
+@query(
+    "q23_combined_fold",
+    oracle="""
+    SELECT md5(e'\\n\\n' || '==================================================' ||
+               string_agg(text, e'\\n\\n' ORDER BY doc_id)) AS combined_md5
+    FROM documents WHERE doc_id < 5
+    """,
+)
+def q23_combined_fold(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    folded = R.combined_document(d, "text", [F.col("doc_id")])
+    return folded.select(F.md5(F.col("combined")).alias("combined_md5"))
+
+
+# =====================================================================
+# S14/A1 — overall run summary (contxt/cli.py:372-395).
+# =====================================================================
+@query(
+    "q24_run_summary",
+    oracle="""
+    SELECT count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(round(value*100) AS BIGINT)) AS sum_value_c,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
+    FROM events
+    """,
+)
+def q24_run_summary(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        cents(F.col("value")).alias("sum_value_c"),
+        F.min(epoch_s(F.col("ts"))).alias("min_ts"),
+        F.max(epoch_s(F.col("ts"))).alias("max_ts"),
+    )
+
+
+# =====================================================================
+# S5/F11 — transcript assembly: ordered per-group line folding
+# (contxt/youtube_handler.py:45-49). Deciseconds avoid printf
+# rounding differences between engines.
+# =====================================================================
+@query(
+    "q25_transcript_fold",
+    oracle="""
+    SELECT user_id,
+           md5(string_agg('[' || CAST(CAST(floor(value*10) AS BIGINT) AS VARCHAR) || 'ds] ' || event_type,
+                          e'\\n' ORDER BY ts, event_id)) AS transcript_md5
+    FROM events GROUP BY user_id
+    """,
+)
+def q25_transcript_fold(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("["),
+        F.floor(F.col("value") * 10).cast("long").cast("string"),
+        F.lit("ds] "),
+        F.col("event_type"),
+    )
+    pair = F.struct(F.col("ts"), F.col("event_id"), line.alias("line"))
+    return (
+        e.select("user_id", pair.alias("p"))
+        .groupBy("user_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "\n", F.transform(F.array_sort(F.collect_list("p")), lambda s: s["line"])
+                )
+            ).alias("transcript_md5")
+        )
+    )
+
+
+# =====================================================================
+# S7/L2 — container expansion with per-container cap
+# (contxt/youtube_handler.py:165-204): word explode + distinct count.
+# =====================================================================
+@query(
+    "q26_word_explode",
+    oracle="""
+    SELECT lang, count(DISTINCT tok) AS n_distinct_words
+    FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def q26_word_explode(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n_distinct_words"))
+    )
+
+
+# =====================================================================
+# Embedding brute-force cosine top-k (ANN baseline).
+# =====================================================================
+@query(
+    "q27_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+      FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q27_cosine_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk_bruteforce(q, emb, "embedding", "vec_id", k=5)
+
+
+# =====================================================================
+# Embedding near-dup pairs within label buckets (scale path of
+# embedding dedup — bucket-restricted self-join).
+# =====================================================================
+@query(
+    "q28_embed_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+    """,
+)
+def q28_embed_near_dup(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.95, bucket_col="label")
+
+
+# =====================================================================
+# Rows-only queries (no SQL oracle — non-relational or Spark-specific):
+# =====================================================================
+@query("q50_extract_pages")
+def q50_extract_pages(spark, sf_dir):
+    """Flagship extraction pipeline on the synthetic pages table
+    (driver records a rows-only check; byte-level parity is covered
+    by tests/test_extract_spark.py)."""
+    from ..functions.udfs import extract_pages
+    from ..sources.pages import pages_df
+
+    ex = extract_pages(pages_df(spark, 256))
+    return ex.select("url", "title", "token_count", "n_images")
+
+
+@query("q51_simhash_near_dup")
+def q51_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 family — no DuckDB twin)."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+
+
+@query("q52_minhash_lsh")
+def q52_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs → verified jaccard (the scale path
+    of q17; recall vs exact is asserted in tests)."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cands = D.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=16, bands=8)
+    return D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, candidates=cands)
+
+
+@query("q53_ivf_topk")
+def q53_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-k (label-mean centroids, nprobe=2)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cents_df = S.label_centroids(emb, "embedding", "label")
+    assigned = emb.withColumn("centroid_id", F.col("label"))
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk_ivf(q, assigned, cents_df, "embedding", "vec_id", k=5, nprobe=2)
+
+
+@query("q54_media_features")
+def q54_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media → features → content dedup."""
+    from ..operators.multimodal import extract_media_features, media_dedup, synth_media
+
+    media = synth_media(spark, 300)
+    feats = extract_media_features(media)
+    return media_dedup(feats).select("media_id", "kind", "content_hash", "copies")

@@ -74,8 +74,13 @@ def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n))
 
 
-def gen_page_html(rid: int, seed: int = 42) -> str:
-    """Pure function of (seed, rid) → an HTML document string."""
+def gen_page_html(rid: int, seed: int = 42, universe: int = 1024) -> str:
+    """Pure function of (seed, rid, universe) → an HTML document string.
+
+    ``universe`` bounds the rid-space that in-document links target, so
+    a crawl over an n-row pages table discovers real member URLs
+    (frontier expansion is testable end-to-end).
+    """
     rng = random.Random(seed * 1_000_003 + rid)
     title = _sentence(rng, 3).title()
     og_desc = _sentence(rng, 8)
@@ -103,7 +108,8 @@ def gen_page_html(rid: int, seed: int = 42) -> str:
             blocks.append(f"<h{lvl}>{_sentence(rng, 4)}</h{lvl}>")
         elif kind == 1:
             inner = _sentence(rng, 10)
-            link = f'<a href="/{rng.choice(_PATH_SEGS)}/{b}">{_sentence(rng, 2)}</a>'
+            target = url_for((rid * 31 + b * 7 + 1) % universe)
+            link = f'<a href="{target}">{_sentence(rng, 2)}</a>'
             strong = f"<strong>{_sentence(rng, 2)}</strong>"
             em = f"<em>{_sentence(rng, 2)}</em>"
             blocks.append(f"<p data-track='{b}' class='lead'>{inner} {link} {strong} {em}</p>")
@@ -179,12 +185,12 @@ def gen_page_html(rid: int, seed: int = 42) -> str:
 _EPOCH = _dt.datetime(2025, 1, 1)
 
 
-def gen_pages_pdf(ids, seed: int = 42) -> pd.DataFrame:
+def gen_pages_pdf(ids, seed: int = 42, universe: int = 1024) -> pd.DataFrame:
     """Pandas batch of pages rows for the given row ids."""
     rows = []
     for rid in ids:
         rid = int(rid)
-        html = gen_page_html(rid, seed)
+        html = gen_page_html(rid, seed, universe)
         rng = random.Random(seed ^ rid)
         rows.append(
             {
@@ -205,9 +211,11 @@ def pages_df(
     if partitions is None:
         partitions = max(1, min(64, n // 256 or 1))
 
+    universe = max(n, 2)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield gen_pages_pdf(pdf["id"].tolist(), seed)
+            yield gen_pages_pdf(pdf["id"].tolist(), seed, universe)
 
     return (
         spark.range(0, n, numPartitions=partitions)
