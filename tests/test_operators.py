@@ -1,0 +1,143 @@
+"""Operator unit tests: as-of join edge semantics, LSH recall vs the
+exact jaccard pairs, top-k determinism, simhash behavior, and
+hypothesis property tests for the scalar functions."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+)
+from web_scraper_spark.operators.relational import asof_join, topk_per_group
+from web_scraper_spark.functions import columns as C
+
+
+def test_asof_join_boundary_wins_at_equal_ts(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, "p10"), (1, 5, "p5"), (1, 3, "p3"), (2, 7, "x")],
+        "k int, t int, tag string",
+    )
+    bounds = spark.createDataFrame(
+        [(1, 5, "B5"), (1, 9, "B9"), (3, 1, "other")], "k int, t int, name string"
+    )
+    out = asof_join(probe, bounds, key="k", probe_ts="t", boundary_ts="t", value_cols=["name"])
+    rows = {(r["k"], r["t"]): r["asof_name"] for r in out.collect()}
+    assert rows[(1, 3)] is None        # before first boundary
+    assert rows[(1, 5)] == "B5"        # boundary at equal ts wins (>= cursor)
+    assert rows[(1, 10)] == "B9"
+    assert rows[(2, 7)] is None        # key with no boundaries
+
+
+def test_topk_deterministic_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(g, i, float((i * 37) % 11)) for g in range(3) for i in range(50)],
+        "g int, i int, v double",
+    )
+    a = topk_per_group(df, ["g"], [F.desc("v"), F.asc("i")], 5).select("g", "i", "rank")
+    b = topk_per_group(df.repartition(13), ["g"], [F.desc("v"), F.asc("i")], 5).select(
+        "g", "i", "rank"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lsh_recall_against_exact(spark):
+    """Every exact pair with jaccard ≥ 0.7 must be found via LSH
+    candidates at 16 hashes / 8 bands (bands are 2-row: candidate
+    P(miss) = (1-j^2)^8 ≤ 0.3% at j=0.7... but with these parameters
+    on shared-vocab synthetic docs the candidate set is near-total;
+    assert full recall at this threshold)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
+    via_lsh = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.7, candidates=cands
+        ).collect()
+    }
+    assert exact, "test is vacuous: no exact pairs at this threshold"
+    missed = exact - via_lsh
+    assert len(missed) <= max(1, len(exact) // 50), f"LSH recall too low: missed {len(missed)}/{len(exact)}"
+    assert via_lsh <= exact  # LSH-verified pairs are always true pairs
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
+        "id int, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dups(df, "text", "id", max_hamming=64).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+# ---------------------------------------------------------------------
+# Property tests (hypothesis) for scalar column functions, checked
+# against the reference semantics implemented in pure Python.
+# ---------------------------------------------------------------------
+
+def _py_sanitize(filename: str) -> str:
+    filename = re.sub(r'[\\/*?:"<>|]', "", filename)
+    filename = re.sub(r"\s+", "_", filename)
+    return filename[:100]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=8))
+def test_sanitize_filename_matches_python(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = [r[0] for r in df.select(C.sanitize_filename(F.col("name"))).collect()]
+    want = [_py_sanitize(n) for n in names]
+    assert got == want
+
+
+def test_sanitize_idempotent(spark):
+    names = ['a b/c\\d*e?f:g"h<i>j|k', "  x  y  ", "ok_name", "a" * 200]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    once = df.select(C.sanitize_filename(F.col("name")).alias("s"))
+    twice = once.select(C.sanitize_filename(F.col("s")).alias("s"))
+    assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()]
+
+
+def test_url_classify_matches_reference_rules(spark):
+    cases = [
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "video", "dQw4w9WgXcQ"),
+        ("https://youtu.be/abcdefghijk", "video", "abcdefghijk"),
+        ("https://www.youtube.com/playlist?list=PL123-x", "playlist", "PL123-x"),
+        # list= wins over watch?v= (rule order is semantic, P3)
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ&list=PL9", "playlist", "PL9"),
+        ("https://www.youtube.com/@somechannel", "channel", "@somechannel"),
+        ("https://www.youtube.com/channel/UCabc", "channel", "UCabc"),
+        ("https://example.com/page", "unknown", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        "url",
+        C.youtube_url_type(F.col("url")).alias("t"),
+        C.youtube_container_id(F.col("url")).alias("id"),
+    ).collect()
+    by_url = {r["url"]: (r["t"], r["id"]) for r in got}
+    for u, t, i in cases:
+        assert by_url[u] == (t, i), u
+
+
+def test_filename_from_url_reference_semantics(spark):
+    cases = [
+        ("https://h.example.com/a/b/c", "h.example.com_a_b_c"),
+        ("https://h.example.com/", "h.example.com_index"),
+        ("https://h.example.com/x/", "h.example.com_x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r[0]: r[1] for r in df.select("url", C.filename_from_url(F.col("url"))).collect()}
+    for u, want in cases:
+        assert got[u] == want, u

@@ -57,6 +57,10 @@ class CrawlConfig:
     ignore_patterns: list[str] = field(default_factory=list)
     expected_per_shard: int = 1 << 16
     fp_rate: float = 1e-4
+    # state tables are small relative to results; coalesce their writes
+    # to avoid 1-row-per-task file storms (None = leave partitioning to
+    # AQE — the right setting on a real cluster with large rounds)
+    state_write_partitions: int | None = 8
 
 
 def _round_dir(cfg: CrawlConfig, round_id: int) -> str:
@@ -76,7 +80,9 @@ def last_committed_round(cfg: CrawlConfig) -> int | None:
     return best
 
 
-def _write(df: DataFrame, path: str) -> None:
+def _write(df: DataFrame, path: str, coalesce: int | None = None) -> None:
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
     df.write.mode("overwrite").parquet(path)
 
 
@@ -133,13 +139,17 @@ def run_round(
     # -- fetch = J6 equi-join against the pages corpus ------------------
     fetched = schedule.join(
         pages.select("url", "html", F.col("warc_ts")), "url", "left"
-    ).withColumn("fetch_status", F.when(F.col("html").isNotNull(), "fetched").otherwise("failed"))
+    ).withColumn(
+        "fetch_status", F.when(F.col("html").isNotNull(), "fetched").otherwise("failed")
+    ).persist()
 
     # -- extraction (one Arrow round-trip) ------------------------------
-    ok = fetched.filter(F.col("fetch_status") == "fetched")
-    failed = fetched.filter(F.col("fetch_status") == "failed").select(
-        "url", "host", "depth", "seq"
-    )
+    # The fetch join's output partitioning follows the join strategy
+    # (broadcast → pages-side partitions; politeness output → ≤n_hosts
+    # groups). Neither bounds extraction parallelism correctly, so
+    # spread rows explicitly before the expensive UDF stage.
+    par = spark.sparkContext.defaultParallelism
+    ok = fetched.filter(F.col("fetch_status") == "fetched").repartition(par)
     extracted = extract_pages(ok, html_col="html", url_col="url").persist()
 
     rdir = _round_dir(cfg, round_id)
@@ -149,7 +159,7 @@ def run_round(
         "url", "host", "depth", "seq", "priority", "scheduled_offset_ms",
         "fetch_status", F.lit(round_id).alias("round_id"),
     )
-    _write(fetch_log, os.path.join(rdir, "fetch_log"))
+    _write(fetch_log, os.path.join(rdir, "fetch_log"), cfg.state_write_partitions)
 
     # -- results + metrics ---------------------------------------------
     results = extracted.select(
@@ -171,19 +181,19 @@ def run_round(
         .withColumn("round_id", F.lit(round_id))
         .withColumn("src", F.lit("extracted"))
     )
-    _write(metrics, os.path.join(rdir, "metrics"))
+    _write(metrics, os.path.join(rdir, "metrics"), cfg.state_write_partitions)
 
     # -- seen state update ---------------------------------------------
     scheduled_urls = schedule.select("url")
     new_seen = scheduled_urls if seen is None else seen.select("url").unionByName(scheduled_urls).distinct()
-    _write(new_seen, os.path.join(rdir, "seen"))
+    _write(new_seen, os.path.join(rdir, "seen"), cfg.state_write_partitions)
 
     new_shards = build_seen_shards(
         scheduled_urls, cfg.n_shards, round_id, cfg.expected_per_shard, cfg.fp_rate
     )
     all_shards = new_shards if shards is None else merge_shard_tables(shards.unionByName(new_shards))
-    _write(all_shards, os.path.join(rdir, "shards"))
-    _write(new_host_state, os.path.join(rdir, "host_state"))
+    _write(all_shards, os.path.join(rdir, "shards"), cfg.state_write_partitions)
+    _write(new_host_state, os.path.join(rdir, "host_state"), cfg.state_write_partitions)
 
     # -- next frontier: deferred pendings + discovered links ------------
     scheduled_set = schedule.select("url")
@@ -218,13 +228,14 @@ def run_round(
         .join(new_seen, "url", "left_anti")
     )
     next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(discovered)
-    _write(next_frontier, os.path.join(rdir, "frontier"))
+    _write(next_frontier, os.path.join(rdir, "frontier"), cfg.state_write_partitions)
 
     n_sched = schedule.count()
     n_ok = extracted.count()
-    n_failed = failed.count()
+    n_failed = n_sched - n_ok  # left join preserves every scheduled row
     n_next = next_frontier.count()
     schedule.unpersist()
+    fetched.unpersist()
     extracted.unpersist()
 
     # atomic commit marker LAST
@@ -265,6 +276,7 @@ def run_crawl(
     Resume reads the last committed round and continues — a crashed
     round (no _COMMIT) is replayed identically (all inputs are the
     previous round's immutable committed state)."""
+    pages = pages.persist()  # reused by the fetch join every round
     if resume:
         last = last_committed_round(cfg)
         if last is None:

@@ -85,10 +85,22 @@ def youtube_container_id(url: Column) -> Column:
 
 # -- filenames / strings (F3, F4, F6, F16, L3) ----------------------------
 
+# Python's re \s in str mode: Java default \s plus \x1c-\x1f and the
+# Unicode White_Space set — spelled out so Spark (Java regex) matches
+# the reference's CPython semantics byte-for-byte.
+_PY_WS = (
+    "[\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+)
+
+
 def sanitize_filename(name: Column) -> Column:
-    r"""F3: strip [\/*?:"<>|], whitespace→_, cap 100 (contxt/utils.py:15-24)."""
+    r"""F3: strip [\/*?:"<>|], whitespace→_, cap 100 (contxt/utils.py:15-24).
+
+    Whitespace class replicates CPython's ``\s`` (which also matches
+    \x1c-\x1f), not Java's narrower default."""
     cleaned = F.regexp_replace(name, r'[\\/*?:"<>|]', "")
-    underscored = F.regexp_replace(cleaned, r"\s+", "_")
+    underscored = F.regexp_replace(cleaned, _PY_WS, "_")
     return F.substring(underscored, 1, 100)
 
 

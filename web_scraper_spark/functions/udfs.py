@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..html.clean import clean_html, extract_images, extract_links
+from ..html.clean import clean_dom, extract_og_metadata, images_from_doc, links_from_doc
+from ..html.dom import parse_html
 from ..html.markdown import html_to_markdown
 
 IMAGE_STRUCT = T.StructType(
@@ -51,8 +52,14 @@ def extract_page_record(html: str, url: str) -> dict:
     serialize → D2 markdown on the serialized clean html — the same
     dataflow the reference's per-URL pipeline runs
     (contxt/cli.py:44-118 sequence; extraction contract per
-    SURVEY.md caveat 1)."""
-    doc, og = clean_html(html)
+    SURVEY.md caveat 1). One parse of the raw HTML serves OG/image/
+    link extraction and the destructive clean (the reference also
+    reads metadata and images from the pre-clean tree)."""
+    doc = parse_html(html)
+    og = extract_og_metadata(doc)
+    images = images_from_doc(doc, url)
+    links = links_from_doc(doc, url)
+    clean_dom(doc)
     cleaned = doc.to_html()
     title_el = doc.find("title")
     title = title_el.get_text(strip=True) if title_el is not None else ""
@@ -64,8 +71,8 @@ def extract_page_record(html: str, url: str) -> dict:
         "og_title": og.get("og_title"),
         "og_description": og.get("og_description"),
         "og_image": og.get("og_image"),
-        "images": extract_images(html, url),
-        "links": extract_links(html, url),
+        "images": images,
+        "links": links,
     }
 
 

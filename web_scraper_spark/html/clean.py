@@ -120,16 +120,10 @@ def normalize_text_nodes(doc: Element) -> None:
                 node.text = cleaned
 
 
-def clean_html(html: str) -> tuple[Element, dict]:
-    """Full D1 pipeline; returns (cleaned document, og_metadata).
-
-    Stage order is semantic and must not be reordered (OG metadata is
-    read before destructive cleaning; contxt/scraper.py:276-277).
-    """
-    doc = parse_html(html)
-
-    og_metadata = extract_og_metadata(doc)
-
+def clean_dom(doc: Element) -> Element:
+    """Destructive D1 cleaning stages, in semantic order (element drop →
+    comment drop → attr whitelist → li dedup → span concat → text
+    normalize). Mutates ``doc`` in place and returns it."""
     for el in doc.find_all(DROP_TAGS):
         el.decompose()
 
@@ -143,7 +137,18 @@ def clean_html(html: str) -> tuple[Element, dict]:
     deduplicate_list_items(doc)
     concatenate_spans(doc)
     normalize_text_nodes(doc)
+    return doc
 
+
+def clean_html(html: str) -> tuple[Element, dict]:
+    """Full D1 pipeline; returns (cleaned document, og_metadata).
+
+    Stage order is semantic and must not be reordered (OG metadata is
+    read before destructive cleaning; contxt/scraper.py:276-277).
+    """
+    doc = parse_html(html)
+    og_metadata = extract_og_metadata(doc)
+    clean_dom(doc)
     return doc, og_metadata
 
 
@@ -164,7 +169,10 @@ def extract_images(html: str, base_url: str) -> list[dict]:
     """Document-order <img src> records with urljoin'd absolute URLs
     (contxt/scraper.py:237-261). Width/height kept as attribute
     strings; missing → None."""
-    doc = parse_html(html)
+    return images_from_doc(parse_html(html), base_url)
+
+
+def images_from_doc(doc: Element, base_url: str) -> list[dict]:
     images = []
     for img in doc.find_all("img"):
         src = img.get("src")
@@ -181,13 +189,17 @@ def extract_images(html: str, base_url: str) -> list[dict]:
 
 
 def extract_links(html: str, base_url: str) -> list[str]:
+    """See links_from_doc; parses then delegates."""
+    return links_from_doc(parse_html(html), base_url)
+
+
+def links_from_doc(doc: Element, base_url: str) -> list[str]:
     """Document-order <a href> targets, urljoin'd absolute — the
     frontier-expansion source (link traversal mirrors the markdown
     formatter's ``a`` handling, contxt/formatters/
     markdown_formatter.py:166-169; crawl expansion is the reference's
     declared-but-unbuilt max_depth capability, contxt/config.py:20).
     Only http(s) results are returned; fragments are dropped."""
-    doc = parse_html(html)
     out = []
     for a in doc.find_all("a"):
         href = a.get("href")

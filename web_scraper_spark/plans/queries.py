@@ -121,12 +121,14 @@ def q02_broadcast_dims(spark, sf_dir):
     "q03_unseen_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def q03_unseen_anti_join(spark, sf_dir):
     c = _load(spark, sf_dir, "customer")
-    o = _load(spark, sf_dir, "orders")
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -705,12 +707,12 @@ def q27_cosine_topk(spark, sf_dir):
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
     """,
 )
 def q28_embed_near_dup(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.95, bucket_col="label")
+    return D.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.35, bucket_col="label")
 
 
 # =====================================================================
