@@ -30,11 +30,14 @@ BENCH_QUERIES = [
     "q07_asof_join", "q08_sessionize", "q09_first_seen_dedup",
     "q10_collision_numbering", "q11_filename_from_url", "q12_token_counts",
     "q13_lang_detect", "q14_quality", "q15_fingerprint", "q16_minhash_sig",
-    "q17_jaccard_pairs", "q20_union_append", "q21_carry_forward",
+    "q17_jaccard_pairs", "q18_image_ext", "q19_first_per_group",
+    "q20_union_append", "q21_carry_forward",
     "q22_position_index", "q23_combined_fold", "q24_run_summary",
     "q25_transcript_fold", "q26_word_explode", "q27_cosine_topk",
-    "q28_embed_near_dup", "q50_extract_pages", "q51_simhash_near_dup",
-    "q52_minhash_lsh", "q53_ivf_topk", "q54_media_features",
+    "q28_embed_near_dup", "q29_combined_name", "q50_extract_pages",
+    "q51_simhash_near_dup", "q52_minhash_lsh", "q53_ivf_topk",
+    "q54_media_features", "q55_video_docs", "q56_container_docs",
+    "q57_chapter_asof",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Frontier filter chain: robots disallow (broadcast join), ignore
+patterns (the reference's declared-but-unwired config, wired here),
+depth cap, and seen-sketch probe correctness."""
+
+from pyspark.sql import functions as F
+
+from web_scraper_spark.crawl.frontier import (
+    ROBOTS_SCHEMA,
+    apply_url_filters,
+    build_seen_shards,
+    probe_seen,
+    seeds_to_frontier,
+)
+from web_scraper_spark.crawl.simulator import SimConfig, simulate_crawl
+from web_scraper_spark.crawl.rounds import CrawlConfig, run_crawl
+from web_scraper_spark.html.clean import extract_links
+from web_scraper_spark.sources.pages import gen_page_html, pages_df, url_for
+
+
+def test_robots_disallow_prefix_filter(spark):
+    f = seeds_to_frontier(
+        spark,
+        [
+            "https://a.x/allowed/p",
+            "https://a.x/private/p",
+            "https://b.x/private/p",  # other host: not disallowed
+        ],
+    )
+    robots = spark.createDataFrame(
+        [("a.x", ["/private"], 1.0)], ROBOTS_SCHEMA
+    )
+    out = {r["url"] for r in apply_url_filters(f, robots=robots).collect()}
+    assert out == {"https://a.x/allowed/p", "https://b.x/private/p"}
+
+
+def test_ignore_patterns_filter(spark):
+    f = seeds_to_frontier(
+        spark, ["https://a.x/tags/t1", "https://a.x/docs/d1", "not-a-url"]
+    )
+    out = {r["url"] for r in apply_url_filters(f, ignore_patterns=["/tags/"]).collect()}
+    assert out == {"https://a.x/docs/d1"}  # invalid URL also dropped (P1)
+
+
+def test_probe_seen_no_false_negatives(spark):
+    n_shards = 4
+    all_urls = [f"https://h{i%3}.x/p{i}" for i in range(200)]
+    seen_urls = all_urls[:120]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    shards = build_seen_shards(seen_df, n_shards, round_id=0)
+    cand = seeds_to_frontier(spark, all_urls)
+    fresh = probe_seen(cand, shards, seen_df, n_shards)
+    got = {r["url"] for r in fresh.select("url").collect()}
+    assert got == set(all_urls[120:])  # exactly the unseen remainder
+
+
+def test_crawl_with_robots_and_ignore_matches_simulator(spark, tmp_path):
+    n = 48
+    pages = pages_df(spark, n)
+    seeds = [url_for(r) for r in range(16)]
+    robots = spark.createDataFrame(
+        [("site0.example.com", ["/docs"], 0.5)], ROBOTS_SCHEMA
+    )
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"),
+        quota_per_host=8,
+        max_depth=1,
+        n_shards=4,
+        ignore_patterns=["/tags/"],
+    )
+    run_crawl(spark, cfg, pages, robots, seeds, n_rounds=2)
+
+    links = {
+        url_for(rid): extract_links(gen_page_html(rid, universe=n), url_for(rid))
+        for rid in range(n)
+    }
+    sim = simulate_crawl(
+        seeds,
+        links,
+        SimConfig(
+            quota_per_host=8,
+            max_depth=1,
+            ignore_patterns=["/tags/"],
+            disallow={"site0.example.com": ["/docs"]},
+        ),
+        n_rounds=2,
+    )
+    import glob, os
+
+    paths = [
+        p
+        for p in glob.glob(os.path.join(str(tmp_path / "ck"), "round=*", "fetch_log"))
+        if "round=-1" not in p
+    ]
+    log = spark.read.parquet(*paths)
+    engine_seen = {r["url"] for r in log.select("url").collect()}
+    assert engine_seen == sim["seen"]
+    assert all("/tags/" not in u for u in engine_seen)
+    assert all(
+        not u.startswith("https://site0.example.com/docs") for u in engine_seen
+    )

@@ -1,0 +1,89 @@
+"""S11 file sink: filename derivation precedence, collision numbering,
+and actual file materialization."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from web_scraper_spark.sources.sinks import (
+    derive_filenames,
+    image_filenames,
+    image_map_join,
+    output_extension,
+    write_documents_as_files,
+)
+
+
+def test_filename_derivation_url_path(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h.example.com/a/b", "doc1"),
+            ("https://h.example.com/", "doc2"),
+            ("https://h.example.com/a/b?q=1", "doc3"),
+        ],
+        "url string, doc string",
+    )
+    out = {r["url"]: r["filename"] for r in derive_filenames(df).collect()}
+    assert out["https://h.example.com/a/b"] == "h.example.com_a_b.md"
+    assert out["https://h.example.com/"] == "h.example.com_index.md"
+
+
+def test_filename_collision_numbering_before_extension(spark):
+    df = spark.createDataFrame(
+        [("https://h.x/p", "a"), ("https://h.y/p", "b"), ("https://h.z/p", "c")],
+        "url string, doc string",
+    ).withColumn("title", F.lit("Same Title"))
+    out = sorted(
+        r["filename"] for r in derive_filenames(df, title_col="title").collect()
+    )
+    assert out == ["Same_Title.md", "Same_Title_1.md", "Same_Title_2.md"]
+
+
+def test_filename_custom_name_precedence(spark):
+    df = spark.createDataFrame([("https://h.x/p", "a")], "url string, doc string")
+    out = derive_filenames(df, custom_name="myexport").collect()[0]["filename"]
+    assert out == "myexport_h.x.md"
+
+
+def test_output_extension_map(spark):
+    df = spark.createDataFrame(
+        [("markdown",), ("xml",), ("html",), ("youtube_raw",), ("??",)], "fmt string"
+    )
+    got = [r[0] for r in df.select(output_extension(F.col("fmt"))).collect()]
+    assert got == ["md", "xml", "html", "txt", "md"]
+
+
+def test_write_documents_as_files(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://h.x/a", "content A"), ("https://h.x/b", "content B")],
+        "url string, doc string",
+    )
+    named = derive_filenames(df)
+    n = write_documents_as_files(named, str(tmp_path / "out"))
+    assert n == 2
+    files = sorted(os.listdir(tmp_path / "out"))
+    assert files == ["h.x_a.md", "h.x_b.md"]
+    assert (tmp_path / "out" / "h.x_a.md").read_text(encoding="utf-8") == "content A"
+
+
+def test_image_map_join_broadcast_and_fallback(spark):
+    images = spark.createDataFrame(
+        [("https://c.dn/a.png",), ("https://c.dn/b.png",)], "url string"
+    )
+    image_map = spark.createDataFrame(
+        [("https://c.dn/a.png", "/local/abc.png")], "url string, path string"
+    )
+    out = {r["url"]: r["resolved"] for r in image_map_join(images, image_map).collect()}
+    assert out["https://c.dn/a.png"] == "/local/abc.png"   # mapped
+    assert out["https://c.dn/b.png"] == "https://c.dn/b.png"  # fallback
+
+
+def test_image_filenames_hash_plus_ext(spark):
+    imgs = spark.createDataFrame(
+        [("https://c.dn/x.webp", "aaaa"), ("https://c.dn/x.exe", "bbbb"), ("https://c.dn/x", "cccc")],
+        "url string, content_hash string",
+    )
+    out = {r["content_hash"]: r["image_filename"] for r in image_filenames(imgs).collect()}
+    assert out["aaaa"] == "aaaa.webp"
+    assert out["bbbb"] == "bbbb.jpg"  # non-whitelisted ext → .jpg
+    assert out["cccc"] == "cccc.jpg"  # no ext → .jpg

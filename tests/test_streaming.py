@@ -1,0 +1,79 @@
+"""Structured Streaming: windowed metrics with watermark, and
+foreachBatch extraction with exactly-once file processing."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from web_scraper_spark.sources.pages import pages_df
+from web_scraper_spark.streaming.stream import (
+    pages_stream,
+    run_foreachbatch_extraction,
+    windowed_fetch_metrics,
+)
+
+
+def _write_pages(spark, path, n, offset=0):
+    pages_df(spark, n).write.mode("append").parquet(path)
+
+
+def test_foreachbatch_extraction_and_catchup(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages_df(spark, 40).write.mode("append").parquet(pages_dir)
+
+    run_foreachbatch_extraction(spark, pages_dir, out_dir, ckpt)
+    res1 = spark.read.parquet(os.path.join(out_dir, "results"))
+    assert res1.count() == 40
+    assert res1.filter(F.col("token_count") > 0).count() == 40
+
+    # restart with the same checkpoint: already-seen files are NOT
+    # reprocessed (exactly-once), only newly arrived data is
+    pages_df(spark, 60).write.mode("overwrite").parquet(str(tmp_path / "tmp2"))
+    # append a new distinct file by copying new rows in
+    spark.read.parquet(str(tmp_path / "tmp2")).filter("url like '%page-5%'").write.mode(
+        "append"
+    ).parquet(pages_dir)
+    run_foreachbatch_extraction(spark, pages_dir, out_dir, ckpt)
+    res2 = spark.read.parquet(os.path.join(out_dir, "results"))
+    n2 = res2.count()
+    assert n2 > 40  # new rows processed
+    assert n2 < 80  # old files not reprocessed
+
+    m = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == n2
+
+
+def test_windowed_metrics_with_watermark(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, 128).write.mode("append").parquet(pages_dir)
+    stream = pages_stream(spark, pages_dir)
+    agg = windowed_fetch_metrics(stream, window="30 seconds", watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winmetrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode only emits windows closed by the watermark; with
+    # availableNow over a finite file set the final windows stay open,
+    # so assert on the streaming plan having run + state semantics via
+    # complete mode instead:
+    q2 = (
+        windowed_fetch_metrics(pages_stream(spark, pages_dir), "30 seconds", "1 minute")
+        .writeStream.format("memory")
+        .queryName("winmetrics_c")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = spark.sql("select * from winmetrics_c").collect()
+    assert rows
+    total = sum(r["n_pages"] for r in rows)
+    assert total == 128
+    hosts = {r["host"] for r in rows}
+    assert "site0.example.com" in hosts

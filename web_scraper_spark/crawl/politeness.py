@@ -108,31 +108,32 @@ def schedule_round(
     budget = round_budget_ms
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized virtual-clock assignment: offset[i] = start +
+        # cumsum(delays)[i-1]. A hot host funnels its whole round quota
+        # into this one group, so the group body must be O(n) numpy,
+        # never per-row Python.
         host = key[0]
-        pdf = pdf.sort_values(["priority", "seq"], kind="mergesort")
+        pdf = pdf.sort_values(["priority", "seq"], kind="mergesort").reset_index(drop=True)
         start = 0
         if pdf["next_allowed_ms"].notna().any():
             start = int(pdf["next_allowed_ms"].dropna().iloc[0])
-        out = []
-        t = start
-        for _, row in pdf.iterrows():
-            delay = row["crawl_delay_ms"]
-            delay = int(delay) if pd.notna(delay) else default_delay_ms
-            if budget is not None and t > budget:
-                break
-            out.append(
-                {
-                    "url": row["url"],
-                    "host": host,
-                    "depth": int(row["depth"]) if pd.notna(row["depth"]) else None,
-                    "priority": float(row["priority"]) if pd.notna(row["priority"]) else None,
-                    "seq": int(row["seq"]) if pd.notna(row["seq"]) else None,
-                    "crawl_delay_ms": delay,
-                    "scheduled_offset_ms": t,
-                }
-            )
-            t += delay
-        return pd.DataFrame(out, columns=[f.name for f in SCHEDULE_SCHEMA.fields])
+        delays = pdf["crawl_delay_ms"].fillna(default_delay_ms).astype("int64")
+        offsets = start + delays.cumsum().shift(1, fill_value=0)
+        if budget is not None:
+            keep = offsets <= budget
+            pdf, delays, offsets = pdf[keep], delays[keep], offsets[keep]
+        return pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "host": host,
+                "depth": pdf["depth"].astype("Int32"),
+                "priority": pdf["priority"].astype("float64"),
+                "seq": pdf["seq"].astype("Int64"),
+                "crawl_delay_ms": delays.astype("int64"),
+                "scheduled_offset_ms": offsets.astype("int64"),
+            },
+            columns=[f.name for f in SCHEDULE_SCHEMA.fields],
+        )
 
     schedule = joined.groupBy("host").applyInPandas(run, SCHEDULE_SCHEMA)
 

@@ -76,33 +76,77 @@ def extract_page_record(html: str, url: str) -> dict:
     }
 
 
-@pandas_udf(EXTRACTED_STRUCT)
-def extract_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
-    rows = []
-    for h, u in zip(html, url):
-        if h is None:
-            rows.append(
-                {f.name: ([] if f.name == "images" else None) for f in EXTRACTED_STRUCT.fields}
-            )
-            continue
-        if isinstance(h, (bytes, bytearray)):
-            h = bytes(h).decode("utf-8", errors="replace")
-        rows.append(extract_page_record(h, u or ""))
-    return pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_STRUCT.fields])
+ALL_PRODUCTS = tuple(f.name for f in EXTRACTED_STRUCT.fields)
 
 
-def extract_pages(df: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
+def make_extract_udf(products: tuple[str, ...] = ALL_PRODUCTS):
+    """Build a struct-returning extraction UDF restricted to the
+    requested products — column pruning *through* the Arrow boundary.
+
+    Catalyst cannot prune inside an opaque UDF, so the caller declares
+    which extraction products it needs and the Arrow return stream
+    carries only those columns (markdown/clean_html dominate the
+    return volume; a counts-only consumer ships ~50x fewer bytes).
+    ``token_count``/``n_images`` consumers need ``clean_html``/
+    ``images`` respectively (added automatically by extract_pages).
+    """
+    fields = [f for f in EXTRACTED_STRUCT.fields if f.name in set(products)]
+    schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    @pandas_udf(schema)
+    def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h, u in zip(html, url):
+            if h is None:
+                rows.append({n: ([] if n in ("images", "links") else None) for n in names})
+                continue
+            if isinstance(h, (bytes, bytearray)):
+                h = bytes(h).decode("utf-8", errors="replace")
+            rec = extract_page_record(h, u or "")
+            rows.append({n: rec[n] for n in names})
+        return pd.DataFrame(rows, columns=names)
+
+    return extract_udf
+
+
+extract_page_udf = make_extract_udf()
+
+
+def extract_pages(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    products: tuple[str, ...] | None = None,
+) -> DataFrame:
     """pages → extracted: one Arrow round-trip, then JVM-side products.
 
-    token_count is computed from clean_html with the reference's
-    fallback estimator (len // 4, contxt/scraper.py:423-426) as a pure
-    Column expression so it stays inside codegen.
+    ``products`` limits which extraction outputs cross the Arrow
+    boundary (None = all). token_count is computed from clean_html
+    with the reference's fallback estimator (len // 4,
+    contxt/scraper.py:423-426) as a pure Column expression so it stays
+    inside codegen; requesting it implies clean_html.
     """
-    ex = extract_page_udf(F.col(html_col), F.col(url_col))
+    want_tokens = products is None or "token_count" in products
+    want_nimages = products is None or "n_images" in products
+    if products is None:
+        prods = ALL_PRODUCTS
+    else:
+        prods = tuple(
+            dict.fromkeys(
+                [p for p in products if p in ALL_PRODUCTS]
+                + (["clean_html"] if want_tokens else [])
+                + (["images"] if want_nimages else [])
+            )
+        )
+    udf = extract_page_udf if prods == ALL_PRODUCTS else make_extract_udf(prods)
+    ex = udf(F.col(html_col), F.col(url_col))
     out = df.withColumn("_ex", ex)
-    for field in EXTRACTED_STRUCT.fields:
-        out = out.withColumn(field.name, F.col(f"_ex.{field.name}"))
+    for name in prods:
+        out = out.withColumn(name, F.col(f"_ex.{name}"))
     out = out.drop("_ex", html_col)
-    out = out.withColumn("token_count", (F.length("clean_html") / 4).cast("int"))
-    out = out.withColumn("n_images", F.size("images"))
+    if want_tokens:
+        out = out.withColumn("token_count", (F.length("clean_html") / 4).cast("int"))
+    if want_nimages:
+        out = out.withColumn("n_images", F.size("images"))
     return out

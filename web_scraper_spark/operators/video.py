@@ -1,0 +1,409 @@
+"""Video/transcript pipeline — the reference's YouTube path re-expressed
+as a star-schema DataFrame query (SURVEY.md §3 E3).
+
+videos ⨝ transcripts ⨝ chapters ⨝ comments → per-video documents →
+per-container folds. No loops: transcript assembly is an ordered
+group fold, chapter organization is an anchor join (the as-of pattern
+J2), comment ranking is a per-group top-k window (W1), container
+assembly is a capped fold (L2 + A8).
+
+The string renderers (D6, contxt/formatters/youtube_formatter.py:23-373
+semantics) are pure Python functions applied once per video/container
+through an Arrow-batched UDF; ``organize_transcript_by_chapters`` is
+reimplemented faithfully including quirk Q12 (first chapter header
+unconditional; non-timestamped lines never advance the cursor) and the
+two distinct timestamp-strip variants (Q8).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------
+# Pure-Python reference-semantics functions (the per-row oracle)
+# ---------------------------------------------------------------------
+
+_TS_LINE = re.compile(r"\[([\d\.]+)s\] (.*)")
+
+
+def transcript_line(start: float | None, text: str) -> str:
+    """S5 line format: '[{start:.1f}s] {text}'
+    (contxt/youtube_handler.py:47); no-timestamp lines pass through."""
+    if start is None:
+        return text
+    return f"[{start:.1f}s] {text}"
+
+
+def organize_transcript_by_chapters(transcript: str, chapters: list[dict]) -> str:
+    """J2/W6 with quirk Q12 (contxt/youtube_handler.py:72-113): cursor
+    advances while t >= next chapter start; first header always
+    emitted; non-timestamped lines (marker -1) never advance."""
+    if not chapters or not transcript:
+        return transcript
+    lines = transcript.split("\n")
+    parsed = []
+    for line in lines:
+        m = _TS_LINE.match(line)
+        if m:
+            parsed.append((float(m.group(1)), m.group(2)))
+        else:
+            parsed.append((-1.0, line))
+    result = []
+    cur = 0
+    result.append(f"## {chapters[0]['title']}")
+    for t, text in parsed:
+        while cur < len(chapters) - 1 and t >= chapters[cur + 1]["start_time"]:
+            cur += 1
+            result.append(f"\n## {chapters[cur]['title']}")
+        result.append(text)
+    return "\n".join(result)
+
+
+def strip_timestamps_raw(transcript: str) -> str:
+    """Q8 variant A (find-']' + lstrip), youtube_formatter.py:62-72."""
+    if not ("[" in transcript and "]" in transcript):
+        return transcript
+    out = []
+    for line in transcript.split("\n"):
+        if "[" in line and "]" in line:
+            idx = line.find("]")
+            if idx != -1 and idx + 1 < len(line):
+                out.append(line[idx + 1:].lstrip())
+            else:
+                out.append(line)
+        # NB: lines without brackets are dropped in this reference
+        # variant (the else branch appends nothing) — faithful.
+    return "\n".join(out)
+
+
+def strip_timestamps_split(transcript: str) -> str:
+    """Q8 variant B (split('] ', 1)), youtube_formatter.py:110-117."""
+    out = []
+    for line in transcript.split("\n"):
+        if line.startswith("[") and "]" in line:
+            out.append(line.split("] ", 1)[1] if "] " in line else line)
+        else:
+            out.append(line)
+    return "\n".join(out)
+
+
+def render_video_complete(
+    title: str, channel: str, url: str, description: str,
+    transcript: str, comments: list[tuple[str, str]], standalone: bool = True,
+) -> str:
+    """D6 complete renderer (youtube_formatter.py:127-211)."""
+    h = "#" if standalone else "##"
+    out = [f"{h} {title or 'Unknown Video'}",
+           f"Channel: **{channel or 'Unknown'}**",
+           f"URL: [{url}]({url})", ""]
+    if description:
+        out += [f"{h}# Description", description, ""]
+    out.append(f"{h}# Transcript")
+    if transcript:
+        out += ["```", transcript, "```"]
+    else:
+        out.append("*No transcript available for this video.*")
+    out.append("")
+    if comments:
+        out.append(f"{h}# Top Comments")
+        cap = 10 if standalone else 5
+        for author, text in comments[:cap]:
+            out.append(f"**{author or 'Anonymous'}**: {text}")
+            out.append("")
+    return "\n".join(out)
+
+
+def render_video_raw(title: str, channel: str, url: str, transcript_no_times: str) -> str:
+    """D6 raw renderer (youtube_formatter.py:50-125)."""
+    out = [f"Title: {title or 'Unknown Video'}",
+           f"Channel: {channel or 'Unknown'}",
+           f"URL: {url}", ""]
+    if transcript_no_times:
+        out += ["Transcript:", transcript_no_times]
+    else:
+        out.append("No transcript available for this video.")
+    return "\n".join(out)
+
+
+def render_video_chapters(
+    title: str, channel: str, url: str, description: str,
+    transcript: str, chapters: list[dict],
+) -> str:
+    """D6 chapters renderer (youtube_formatter.py:213-265)."""
+    out = [f"# {title or 'Unknown Video'}",
+           f"Channel: **{channel or 'Unknown'}**",
+           f"URL: [{url}]({url})", ""]
+    if description:
+        out += ["## Description", description, ""]
+    out.append("# Transcript")
+    if chapters and transcript:
+        out.append(organize_transcript_by_chapters(transcript, chapters))
+    elif transcript:
+        out += ["## Full Transcript", strip_timestamps_split(transcript)]
+    else:
+        out.append("*No transcript available for this video.*")
+    out.append("")
+    return "\n".join(out)
+
+
+def render_container(
+    kind: str, url: str, videos: list[dict], style: str, channel_name: str = ""
+) -> str:
+    """D6 playlist/channel assembly (youtube_formatter.py:272-373):
+    numbered index list (md styles), per-video docs joined with '---'
+    (md) or 40×'-' (raw), 'Video {i+1}:' prefixes in raw."""
+    label = "Playlist" if kind == "playlist" else f"Channel: {channel_name}"
+    head_txt = f"YouTube {label}"
+    if not videos:
+        if style == "raw":
+            return f"{head_txt}\nURL: {url}\n\nNo videos found."
+        return f"# {head_txt}\n\nURL: [{url}]({url})\n\n*No videos found.*"
+    out = []
+    if style == "raw":
+        out += [head_txt, f"URL: {url}", f"Videos: {len(videos)}"]
+    else:
+        out += [f"# {head_txt}", f"URL: [{url}]({url})", f"Videos: {len(videos)}"]
+    out.append("")
+    if style != "raw":
+        out.append("## Videos in this Playlist" if kind == "playlist" else "## Recent Videos")
+        for i, v in enumerate(videos):
+            out.append(f"{i + 1}. [{v.get('title', 'Unknown')}]({v.get('url', '#')})")
+        out.append("")
+    for i, v in enumerate(videos):
+        if style == "raw":
+            out.append(f"Video {i + 1}:")
+        out.append(v["doc"])
+        if i < len(videos) - 1:
+            out.append("-" * 40 if style == "raw" else "---")
+            out.append("")
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------
+# DataFrame pipeline
+# ---------------------------------------------------------------------
+
+def assemble_transcripts(transcripts: DataFrame, include_timestamps: bool = True) -> DataFrame:
+    """S5: per-video ordered fold into the transcript string. One
+    shuffle on video_id; ordering via array_sort on (pos, line) structs
+    so it is partitioning-independent."""
+    line = (
+        F.when(F.col("start").isNotNull(),
+               F.format_string("[%.1fs] %s", F.col("start"), F.col("text")))
+        .otherwise(F.col("text"))
+        if include_timestamps
+        else F.col("text")
+    )
+    pair = F.struct(F.col("pos"), line.alias("line"))
+    return (
+        transcripts.select("video_id", pair.alias("p"))
+        .groupBy("video_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list("p")), lambda s: s["line"])
+            ).alias("transcript")
+        )
+    )
+
+
+def organize_by_chapters_df(transcripts: DataFrame, chapters: DataFrame) -> DataFrame:
+    """J2 relationally: chapter k≥1 anchors to the first transcript
+    position with t >= start_time (min-pos aggregation on an
+    inequality join restricted per video); chapter 0 anchors before
+    everything. Headers and lines are unioned with a composite sort
+    key and folded per video — no cursor loop, one shuffle on
+    video_id, and the quirk-Q12 semantics drop out of the anchor
+    definition (non-timestamped lines have t=-1, matching no chapter).
+
+    Output: (video_id, organized) for videos that HAVE chapters.
+    """
+    lines = transcripts.select(
+        "video_id",
+        F.col("pos"),
+        F.coalesce(F.col("start"), F.lit(-1.0)).alias("t"),
+        F.col("text"),
+    )
+    ch = chapters.select("video_id", "k", "start_time", "title")
+
+    # anchor position for k>=1: min pos whose t >= start_time
+    anchors = (
+        ch.filter(F.col("k") >= 1)
+        .join(lines, "video_id")
+        .filter(F.col("t") >= F.col("start_time"))
+        .groupBy("video_id", "k", "title")
+        .agg(F.min("pos").alias("anchor_pos"))
+    )
+    ch0 = ch.filter(F.col("k") == 0).select(
+        "video_id", "k", "title", F.lit(-1).alias("anchor_pos")
+    )
+    headers = ch0.unionByName(anchors.select("video_id", "k", "title", "anchor_pos")).select(
+        "video_id",
+        F.struct(
+            F.col("anchor_pos").alias("pos"),
+            F.lit(0).alias("kind"),
+            F.col("k").alias("sub"),
+            F.when(F.col("k") == 0, F.concat(F.lit("## "), F.col("title")))
+            .otherwise(F.concat(F.lit("\n## "), F.col("title")))
+            .alias("line"),
+        ).alias("p"),
+    )
+    # only videos that actually have chapters produce an organized
+    # transcript (the reference returns the raw transcript otherwise,
+    # contxt/youtube_handler.py:74-75)
+    chaptered = ch.select("video_id").distinct()
+    body = lines.join(F.broadcast(chaptered), "video_id", "left_semi").select(
+        "video_id",
+        F.struct(
+            F.col("pos"), F.lit(1).alias("kind"), F.lit(0).alias("sub"),
+            F.col("text").alias("line"),
+        ).alias("p"),
+    )
+    return (
+        headers.unionByName(body)
+        .groupBy("video_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list("p")), lambda s: s["line"])
+            ).alias("organized")
+        )
+    )
+
+
+def top_comments(comments: DataFrame, k: int = 30) -> DataFrame:
+    """W1: top-level comments ranked by likes (None→0) with a unique
+    tie-break, capped at k per video (contxt/youtube_handler.py:144-156)."""
+    w = Window.partitionBy("video_id").orderBy(
+        F.desc(F.coalesce(F.col("like_count"), F.lit(0))), F.asc("comment_id")
+    )
+    return (
+        comments.filter(F.col("parent") == "root")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+_DOC_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("doc", T.StringType()),
+])
+
+
+def video_documents(
+    videos: DataFrame,
+    transcripts: DataFrame,
+    chapters: DataFrame,
+    comments: DataFrame,
+    style: str = "complete",
+    standalone: bool = True,
+) -> DataFrame:
+    """The star join → one document per video.
+
+    All heavy lifting (folds, rankings, as-of organization) happens in
+    DataFrame land; the final string rendering crosses to Python once
+    per video via an Arrow batch."""
+    t_with = assemble_transcripts(transcripts, include_timestamps=True)
+    t_without = assemble_transcripts(transcripts, include_timestamps=False).withColumnRenamed(
+        "transcript", "transcript_no_times"
+    )
+    ranked = top_comments(comments, 30)
+    c_list = (
+        ranked.select(
+            "video_id",
+            F.struct("rank", "author", "text").alias("c"),
+        )
+        .groupBy("video_id")
+        .agg(F.array_sort(F.collect_list("c")).alias("comments"))
+    )
+    ch_list = (
+        chapters.select("video_id", F.struct("k", "start_time", "title").alias("ch"))
+        .groupBy("video_id")
+        .agg(F.array_sort(F.collect_list("ch")).alias("chapters"))
+    )
+    organized = organize_by_chapters_df(transcripts, chapters)
+
+    joined = (
+        videos.join(t_with, "video_id", "left")
+        .join(t_without, "video_id", "left")
+        .join(c_list, "video_id", "left")
+        .join(ch_list, "video_id", "left")
+        .join(organized, "video_id", "left")
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw_comments = r["comments"] if r["comments"] is not None else []
+                raw_chapters = r["chapters"] if r["chapters"] is not None else []
+                comments_l = [(c["author"], c["text"]) for c in raw_comments]
+                chapters_l = [
+                    {"k": c["k"], "start_time": c["start_time"], "title": c["title"]}
+                    for c in raw_chapters
+                ]
+                if style == "raw":
+                    tnt = r["transcript_no_times"]
+                    if not tnt and r["transcript"]:
+                        tnt = strip_timestamps_raw(r["transcript"])
+                    doc = render_video_raw(r["title"], r["channel"], r["url"], tnt or "")
+                elif style == "chapters":
+                    doc = render_video_chapters(
+                        r["title"], r["channel"], r["url"], r["description"] or "",
+                        r["transcript"] or "", chapters_l,
+                    )
+                else:
+                    doc = render_video_complete(
+                        r["title"], r["channel"], r["url"], r["description"] or "",
+                        r["transcript"] or "", comments_l, standalone=standalone,
+                    )
+                rows.append({"video_id": r["video_id"], "doc": doc})
+            yield pd.DataFrame(rows, columns=["video_id", "doc"])
+
+    return joined.mapInPandas(render, _DOC_SCHEMA)
+
+
+def container_documents(
+    containers: DataFrame,
+    videos: DataFrame,
+    video_docs: DataFrame,
+    style: str = "complete",
+    max_videos: int = 30,
+) -> DataFrame:
+    """S7/L2/A8: per-container capped ordered fold of member video
+    documents into one playlist/channel document."""
+    w = Window.partitionBy("container_id").orderBy("position", "video_id")
+    members = (
+        containers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_videos)
+        .join(videos.select("video_id", "title", "channel", "url"), "video_id")
+        .join(video_docs, "video_id")
+    )
+    packed = members.select(
+        "container_id", "kind",
+        F.struct("position", "video_id", "title", "channel", "url", "doc").alias("m"),
+    ).groupBy("container_id", "kind").agg(
+        F.array_sort(F.collect_list("m")).alias("members")
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vids = [
+                    {"title": m["title"], "url": m["url"], "doc": m["doc"], "channel": m["channel"]}
+                    for m in r["members"]
+                ]
+                channel_name = vids[0]["channel"] if vids else "Unknown Channel"
+                url = f"https://www.youtube.com/{r['kind']}/{r['container_id']}"
+                doc = render_container(r["kind"], url, vids, style, channel_name)
+                rows.append({"video_id": r["container_id"], "doc": doc})
+            yield pd.DataFrame(rows, columns=["video_id", "doc"])
+
+    return (
+        packed.mapInPandas(render, _DOC_SCHEMA)
+        .withColumnRenamed("video_id", "container_id")
+    )

@@ -726,7 +726,10 @@ def q50_extract_pages(spark, sf_dir):
     from ..functions.udfs import extract_pages
     from ..sources.pages import pages_df
 
-    ex = extract_pages(pages_df(spark, 256))
+    # repartition = shuffle boundary between the generator's Python
+    # stage and the extraction UDF stage; chaining two Python ops in
+    # one task serializes on Arrow back-pressure (see bench_scaling).
+    ex = extract_pages(pages_df(spark, 256).repartition(16))
     return ex.select("url", "title", "token_count", "n_images")
 
 
@@ -764,3 +767,118 @@ def q54_media_features(spark, sf_dir):
     media = synth_media(spark, 300)
     feats = extract_media_features(media)
     return media_dedup(feats).select("media_id", "kind", "content_hash", "copies")
+
+
+# =====================================================================
+# Video star-schema pipeline (E3/D6 — rows-only: star tables are
+# engine-synthesized, not driver-registered).
+# =====================================================================
+@query("q55_video_docs")
+def q55_video_docs(spark, sf_dir):
+    """videos⨝transcripts⨝chapters⨝comments → one document per video
+    (complete style): the reference's single-video pipeline as one
+    DataFrame query."""
+    from ..operators.video import video_documents
+    from ..sources import youtube as Y
+
+    n = 24
+    docs = video_documents(
+        Y.videos_df(spark, n), Y.transcripts_df(spark, n),
+        Y.chapters_df(spark, n), Y.comments_df(spark, n), style="complete",
+    )
+    return docs.select("video_id", F.length("doc").alias("doc_len"), F.md5("doc").alias("doc_md5"))
+
+
+@query("q56_container_docs")
+def q56_container_docs(spark, sf_dir):
+    """S7/L2/A8: capped per-container fold of member video documents."""
+    from ..operators.video import container_documents, video_documents
+    from ..sources import youtube as Y
+
+    n = 24
+    vids = Y.videos_df(spark, n)
+    docs = video_documents(
+        vids, Y.transcripts_df(spark, n), Y.chapters_df(spark, n),
+        Y.comments_df(spark, n), style="complete", standalone=False,
+    )
+    out = container_documents(Y.containers_df(spark, n), vids, docs, max_videos=5)
+    return out.select("container_id", F.length("doc").alias("doc_len"), F.md5("doc").alias("doc_md5"))
+
+
+@query("q57_chapter_asof")
+def q57_chapter_asof(spark, sf_dir):
+    """J2 as the anchor-join organization over the synthetic star schema."""
+    from ..operators.video import organize_by_chapters_df
+    from ..sources import youtube as Y
+
+    n = 24
+    org = organize_by_chapters_df(Y.transcripts_df(spark, n), Y.chapters_df(spark, n))
+    return org.select("video_id", F.md5("organized").alias("organized_md5"))
+
+
+# =====================================================================
+# F15 — image-extension whitelist (contxt/scraper.py:476-482).
+# =====================================================================
+@query(
+    "q18_image_ext",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN '.png'
+                WHEN lang = 'de' THEN '.webp'
+                ELSE '.jpg' END AS ext
+    FROM documents
+    """,
+)
+def q18_image_ext(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    # synthesize image URLs whose path extension depends on lang:
+    # en → .png (whitelisted), de → .webp (whitelisted),
+    # others → .bin or none (both fall back to .jpg)
+    raw_ext = (
+        F.when(F.col("lang") == "en", F.lit(".png"))
+        .when(F.col("lang") == "de", F.lit(".webp"))
+        .when(F.col("lang") == "fr", F.lit(".bin"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://cdn.example.com/img/"), F.col("doc_id").cast("string"), raw_ext
+    )
+    return d.select("doc_id", C.image_ext(url).alias("ext"))
+
+
+# =====================================================================
+# J4 — first-per-group lookup (first successful title,
+# contxt/cli.py:326-335).
+# =====================================================================
+@query(
+    "q19_first_per_group",
+    oracle="""
+    SELECT o_custkey,
+           CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS first_order_ts,
+           min(o_orderkey) AS first_orderkey
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q19_first_per_group(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min(epoch_s(F.col("o_orderdate"))).alias("first_order_ts"),
+        F.min("o_orderkey").alias("first_orderkey"),
+    )
+
+
+# =====================================================================
+# L4 — combined-name fallback: first 3 domains joined
+# (contxt/cli.py:333-335).
+# =====================================================================
+@query(
+    "q29_combined_name",
+    oracle="""
+    SELECT string_agg(source, '_' ORDER BY source) AS combined_name
+    FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 3)
+    """,
+)
+def q29_combined_name(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    domains = F.slice(F.array_sort(F.collect_set("source")), 1, 3)
+    return d.agg(F.concat_ws("_", domains).alias("combined_name"))
