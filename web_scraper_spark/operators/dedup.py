@@ -208,6 +208,38 @@ def simhash64(col: Column, shingle_n: int = 1) -> Column:
     return out
 
 
+def simhash64_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """SimHash via explode + one groupBy with 64 small aggregations —
+    the scalable form of :func:`simhash64`. The single-expression
+    variant builds a 64-lambda tree that blows up codegen/compile time
+    (measured 25s on 300 docs); this form is one shuffle on the id and
+    64 codegen-friendly conditional sums.
+
+    Returns (id, fp)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), 1)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", fp.alias("fp"))
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -217,7 +249,7 @@ def simhash_near_dups(
     split the 64-bit fingerprint into 4 16-bit blocks; any pair within
     Hamming ≤ 3 agrees on ≥1 block, so join per (block_idx, block).
     Shuffles only on small block keys."""
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    fp = simhash64_agg(df, text_col, id_col)
     blocks = fp.select(
         "id",
         "fp",

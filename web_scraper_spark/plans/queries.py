@@ -764,7 +764,9 @@ def q54_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic media → features → content dedup."""
     from ..operators.multimodal import extract_media_features, media_dedup, synth_media
 
-    media = synth_media(spark, 300)
+    # shuffle boundary between the synth (Python) and feature (Python)
+    # stages — same rationale as q50
+    media = synth_media(spark, 300).repartition(16)
     feats = extract_media_features(media)
     return media_dedup(feats).select("media_id", "kind", "content_hash", "copies")
 
