@@ -118,7 +118,11 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
             rows = []
             for rid in pdf["id"].tolist():
                 rid = int(rid)
-                payload = hashlib.md5(f"{seed}:{rid // 3}".encode()).digest() * (1 + rid % 5)
+                # payload depends only on rid//3 → every consecutive
+                # triple shares identical bytes (deliberate duplicates)
+                payload = hashlib.md5(f"{seed}:{rid // 3}".encode()).digest() * (
+                    1 + (rid // 3) % 5
+                )
                 kind = kinds[rid % 3]
                 rows.append(
                     {

@@ -740,10 +740,14 @@ def q51_simhash_near_dup(spark, sf_dir):
     return D.simhash_near_dups(d, "text", "doc_id", max_hamming=8)
 
 
-@query("q52_minhash_lsh")
+_LSH_ORACLE = "\n    WITH docs AS (\n      SELECT doc_id,\n             list_distinct(string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ')) AS toks\n      FROM documents WHERE doc_id < 300),\n    sigs AS (\n      SELECT doc_id,\n      list_min(list_transform(toks, s -> md5(s || '#0'))) AS s0,\n      list_min(list_transform(toks, s -> md5(s || '#1'))) AS s1,\n      list_min(list_transform(toks, s -> md5(s || '#2'))) AS s2,\n      list_min(list_transform(toks, s -> md5(s || '#3'))) AS s3,\n      list_min(list_transform(toks, s -> md5(s || '#4'))) AS s4,\n      list_min(list_transform(toks, s -> md5(s || '#5'))) AS s5,\n      list_min(list_transform(toks, s -> md5(s || '#6'))) AS s6,\n      list_min(list_transform(toks, s -> md5(s || '#7'))) AS s7,\n      list_min(list_transform(toks, s -> md5(s || '#8'))) AS s8,\n      list_min(list_transform(toks, s -> md5(s || '#9'))) AS s9,\n      list_min(list_transform(toks, s -> md5(s || '#10'))) AS s10,\n      list_min(list_transform(toks, s -> md5(s || '#11'))) AS s11,\n      list_min(list_transform(toks, s -> md5(s || '#12'))) AS s12,\n      list_min(list_transform(toks, s -> md5(s || '#13'))) AS s13,\n      list_min(list_transform(toks, s -> md5(s || '#14'))) AS s14,\n      list_min(list_transform(toks, s -> md5(s || '#15'))) AS s15\n      FROM docs),\n    bands AS (\n      SELECT doc_id, unnest([{'band': 0, 'bucket': md5(s0 || '|' || s1)}, {'band': 1, 'bucket': md5(s2 || '|' || s3)}, {'band': 2, 'bucket': md5(s4 || '|' || s5)}, {'band': 3, 'bucket': md5(s6 || '|' || s7)}, {'band': 4, 'bucket': md5(s8 || '|' || s9)}, {'band': 5, 'bucket': md5(s10 || '|' || s11)}, {'band': 6, 'bucket': md5(s12 || '|' || s13)}, {'band': 7, 'bucket': md5(s14 || '|' || s15)}], recursive := true)\n      FROM sigs),\n    cand AS (\n      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket\n      WHERE a.doc_id < b.doc_id),\n    inv AS (SELECT doc_id, len(toks) AS n, toks FROM docs),\n    scored AS (\n      SELECT c.id_a, c.id_b,\n             len(list_intersect(x.toks, y.toks)) AS common,\n             x.n AS na, y.n AS nb\n      FROM cand c JOIN inv x ON x.doc_id = c.id_a JOIN inv y ON y.doc_id = c.id_b)\n    SELECT id_a, id_b,\n           round(CAST(common AS DOUBLE)/(na+nb-common), 6) AS jaccard\n    FROM scored WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.5\n    "
+
+
+@query("q52_minhash_lsh", oracle=_LSH_ORACLE)
 def q52_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidate pairs → verified jaccard (the scale path
-    of q17; recall vs exact is asserted in tests)."""
+    of q17). The md5-lex-min hash family and banding are engine-
+    portable, so even the LSH bucketing is oracle-checked in SQL."""
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     cands = D.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=16, bands=8)
     return D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, candidates=cands)
