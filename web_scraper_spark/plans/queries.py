@@ -753,9 +753,41 @@ def q52_minhash_lsh(spark, sf_dir):
     return D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, candidates=cands)
 
 
-@query("q53_ivf_topk")
+_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT label, i, avg(v[i]) AS m
+         FROM e, generate_series(1, 64) AS t(i) GROUP BY label, i),
+cent AS (SELECT label AS cid, list(m ORDER BY i) AS cv FROM dims GROUP BY label),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+qc AS (
+  SELECT query_id, cid, qv,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_dot_product(qv, cv) /
+                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                    cid ASC) AS crank
+  FROM q, cent),
+probes AS (SELECT query_id, cid, qv FROM qc WHERE crank <= 2),
+cand AS (
+  SELECT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v AS cv
+  FROM probes p JOIN e c ON c.label = p.cid AND c.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("q53_ivf_topk", oracle=_IVF_ORACLE)
 def q53_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN top-k (label-mean centroids, nprobe=2)."""
+    """IVF-bucketed ANN top-k (label-mean centroids, nprobe=2) — the
+    whole index build + probe path is oracle-checked in SQL."""
     emb = _load(spark, sf_dir, "embeddings")
     cents_df = S.label_centroids(emb, "embedding", "label")
     assigned = emb.withColumn("centroid_id", F.col("label"))
