@@ -98,3 +98,22 @@ def test_crawl_with_robots_and_ignore_matches_simulator(spark, tmp_path):
     assert all(
         not u.startswith("https://site0.example.com/docs") for u in engine_seen
     )
+
+
+def test_politeness_crawl_delay_spacing(spark):
+    """robots crawl_delay drives the per-host virtual-clock spacing
+    (reference analog: sequential loop + wait budgets,
+    contxt/scraper.py:106-124)."""
+    from web_scraper_spark.crawl.politeness import schedule_round
+
+    cand = spark.createDataFrame(
+        [(f"https://a.x/{i}", "a.x", 0, float(i), i, 500) for i in range(4)]
+        + [(f"https://b.x/{i}", "b.x", 0, float(i), i, None) for i in range(3)],
+        "url string, host string, depth int, priority double, seq long, crawl_delay_ms long",
+    )
+    sched, state = schedule_round(cand, None, quota_per_host=10, default_delay_ms=1000)
+    rows = {(r["host"], r["seq"]): r["scheduled_offset_ms"] for r in sched.collect()}
+    assert [rows[("a.x", i)] for i in range(4)] == [0, 500, 1000, 1500]
+    assert [rows[("b.x", i)] for i in range(3)] == [0, 1000, 2000]  # default delay
+    st = {r["host"]: r["next_allowed_ms"] for r in state.collect()}
+    assert st == {"a.x": 0, "b.x": 0}  # no round budget → no carry-over
