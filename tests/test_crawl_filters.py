@@ -117,3 +117,33 @@ def test_politeness_crawl_delay_spacing(spark):
     assert [rows[("b.x", i)] for i in range(3)] == [0, 1000, 2000]  # default delay
     st = {r["host"]: r["next_allowed_ms"] for r in state.collect()}
     assert st == {"a.x": 0, "b.x": 0}  # no round budget → no carry-over
+
+
+def test_round_budget_defers_and_carries_over(spark, tmp_path):
+    """round_budget_ms truncates each host's schedule at the virtual
+    budget; deferred rows stay pending and get scheduled next round —
+    matching the simulator's budget rule."""
+    from web_scraper_spark.crawl.rounds import CrawlConfig, run_crawl
+
+    n = 32
+    pages = pages_df(spark, n)
+    seeds = [url_for(r) for r in range(0, 20, 2)]  # 10 hot-host seeds
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"),
+        quota_per_host=100,
+        max_depth=0,  # no expansion: only the seeds flow
+        default_delay_ms=1000,
+        round_budget_ms=3000,  # 4 fetches per host per round (0,1s,2s,3s)
+        n_shards=4,
+    )
+    stats = run_crawl(spark, cfg, pages, None, seeds, n_rounds=3)
+    # round 0: offsets 0..3000 (4 rows), clock ends at 4000 → carry
+    # 1000ms; rounds 1-2 start at 1000 → 3 rows each
+    assert [s["scheduled"] for s in stats] == [4, 3, 3]
+    sim = simulate_crawl(
+        seeds,
+        {},
+        SimConfig(quota_per_host=100, max_depth=0, round_budget_ms=3000),
+        n_rounds=3,
+    )
+    assert [len(r) for r in sim["rounds"]] == [4, 3, 3]

@@ -61,6 +61,9 @@ class CrawlConfig:
     # to avoid 1-row-per-task file storms (None = leave partitioning to
     # AQE — the right setting on a real cluster with large rounds)
     state_write_partitions: int | None = 8
+    # count the next frontier for stats (costs one extra job per
+    # round; loop control only needs the scheduled count)
+    collect_frontier_count: bool = True
 
 
 def _round_dir(cfg: CrawlConfig, round_id: int) -> str:
@@ -233,7 +236,7 @@ def run_round(
     n_sched = schedule.count()
     n_ok = extracted.count()
     n_failed = n_sched - n_ok  # left join preserves every scheduled row
-    n_next = next_frontier.count()
+    n_next = next_frontier.count() if cfg.collect_frontier_count else -1
     schedule.unpersist()
     fetched.unpersist()
     extracted.unpersist()

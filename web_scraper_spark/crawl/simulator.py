@@ -30,6 +30,7 @@ class SimConfig:
     max_depth: int = 2
     ignore_patterns: list[str] = field(default_factory=list)
     disallow: dict[str, list[str]] = field(default_factory=dict)
+    round_budget_ms: int | None = None
 
 
 def simulate_crawl(
@@ -48,6 +49,7 @@ def simulate_crawl(
     order: list[tuple[int, str]] = []
     per_host: dict[str, list[str]] = {}
     rounds: list[list[str]] = []
+    carry_ms: dict[str, int] = {}  # politeness virtual-clock carry-over
 
     frontier: list[tuple[float, int, str, int]] = []  # (priority, seq, url, depth)
     for i, u in enumerate(seed_urls):
@@ -77,8 +79,27 @@ def simulate_crawl(
         scheduled = []
         deferred = []
         for host, items in by_host.items():
-            scheduled.extend(items[: cfg.quota_per_host])
-            deferred.extend(items[cfg.quota_per_host:])
+            take = items[: cfg.quota_per_host]
+            rest = items[cfg.quota_per_host:]
+            if cfg.round_budget_ms is not None:
+                # per-host virtual clock with carry-over: offsets start
+                # at the previous round's overflow; rows whose start
+                # exceeds the budget are deferred — the engine's
+                # politeness rule (crawl/politeness.py)
+                delay = cfg.crawl_delay_ms.get(host, cfg.default_delay_ms)
+                start = carry_ms.get(host, 0)
+                fit = 0
+                t = start
+                while fit < len(take) and t <= cfg.round_budget_ms:
+                    fit += 1
+                    t += delay
+                rest = take[fit:] + rest
+                take = take[:fit]
+                if take:
+                    end = start + fit * delay
+                    carry_ms[host] = max(end - cfg.round_budget_ms, 0)
+            scheduled.extend(take)
+            deferred.extend(rest)
 
         # sequential processing in (priority, seq) order — the
         # reference's loop order restricted to this round's schedule
