@@ -147,3 +147,33 @@ def test_round_budget_defers_and_carries_over(spark, tmp_path):
         n_rounds=3,
     )
     assert [len(r) for r in sim["rounds"]] == [4, 3, 3]
+
+
+def test_seen_compaction_preserves_parity(spark, tmp_path):
+    """Append-only seen + compaction every 2 rounds yields the same
+    final seen set as the simulator over 4 rounds."""
+    import glob, os
+    from web_scraper_spark.crawl.rounds import CrawlConfig, run_crawl
+
+    n = 48
+    pages = pages_df(spark, n)
+    seeds = [url_for(r) for r in range(8)]
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"), quota_per_host=6, max_depth=3,
+        n_shards=4, seen_compact_every=2,
+    )
+    run_crawl(spark, cfg, pages, None, seeds, n_rounds=4)
+    links = {
+        url_for(rid): extract_links(gen_page_html(rid, universe=n), url_for(rid))
+        for rid in range(n)
+    }
+    sim = simulate_crawl(seeds, links, SimConfig(quota_per_host=6, max_depth=3), n_rounds=4)
+    paths = [
+        p for p in glob.glob(os.path.join(str(tmp_path / "ck"), "round=*", "fetch_log"))
+        if "round=-1" not in p
+    ]
+    log = spark.read.parquet(*paths)
+    assert {r["url"] for r in log.select("url").collect()} == sim["seen"]
+    # a compaction marker exists at rounds 1 and 3
+    assert os.path.exists(os.path.join(str(tmp_path / "ck"), "round=1", "_SEEN_COMPACT"))
+    assert os.path.exists(os.path.join(str(tmp_path / "ck"), "round=3", "_SEEN_COMPACT"))

@@ -64,6 +64,10 @@ class CrawlConfig:
     # count the next frontier for stats (costs one extra job per
     # round; loop control only needs the scheduled count)
     collect_frontier_count: bool = True
+    # compact the append-only seen table every K rounds (between
+    # compactions each round appends only its own scheduled URLs —
+    # O(round) not O(total) write cost; the Iceberg-append analog)
+    seen_compact_every: int = 8
 
 
 def _round_dir(cfg: CrawlConfig, round_id: int) -> str:
@@ -95,6 +99,25 @@ def _read(spark: SparkSession, path: str, schema=None) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+def read_seen(spark: SparkSession, cfg: CrawlConfig, upto_round: int) -> DataFrame | None:
+    """Union of the append-only per-round seen tables up to (and
+    including) ``upto_round``. A compacted round's seen dir holds the
+    full set, so reading starts at the latest compaction point."""
+    dirs = []
+    start = upto_round
+    while start >= 0:
+        d = os.path.join(_round_dir(cfg, start), "seen")
+        if os.path.exists(os.path.join(_round_dir(cfg, start), "_SEEN_COMPACT")):
+            dirs.append(d)
+            break
+        if os.path.isdir(d):
+            dirs.append(d)
+        start -= 1
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def run_round(
     spark: SparkSession,
     cfg: CrawlConfig,
@@ -109,7 +132,7 @@ def run_round(
     frontier = _read(spark, os.path.join(prev, "frontier"))
     if frontier is None:
         raise RuntimeError(f"no committed frontier at {prev}")
-    seen = _read(spark, os.path.join(prev, "seen"))
+    seen = read_seen(spark, cfg, round_id - 1)
     shards = _read(spark, os.path.join(prev, "shards"))
     host_state = _read(spark, os.path.join(prev, "host_state"))
 
@@ -186,10 +209,19 @@ def run_round(
     )
     _write(metrics, os.path.join(rdir, "metrics"), cfg.state_write_partitions)
 
-    # -- seen state update ---------------------------------------------
+    # -- seen state update (append-only; periodic compaction) ------------
     scheduled_urls = schedule.select("url")
-    new_seen = scheduled_urls if seen is None else seen.select("url").unionByName(scheduled_urls).distinct()
-    _write(new_seen, os.path.join(rdir, "seen"), cfg.state_write_partitions)
+    compact = cfg.seen_compact_every > 0 and round_id % cfg.seen_compact_every == cfg.seen_compact_every - 1
+    if compact and seen is not None:
+        full = seen.select("url").unionByName(scheduled_urls).distinct()
+        _write(full, os.path.join(rdir, "seen"), cfg.state_write_partitions)
+        with open(os.path.join(rdir, "_SEEN_COMPACT"), "w") as fh:
+            fh.write("")
+    else:
+        _write(scheduled_urls, os.path.join(rdir, "seen"), cfg.state_write_partitions)
+        if compact:  # round 0 of a compaction cycle with no prior seen
+            with open(os.path.join(rdir, "_SEEN_COMPACT"), "w") as fh:
+                fh.write("")
 
     new_shards = build_seen_shards(
         scheduled_urls, cfg.n_shards, round_id, cfg.expected_per_shard, cfg.fp_rate
@@ -228,7 +260,11 @@ def run_round(
         .withColumn("round_id", F.lit(round_id + 1))
         .withColumn("status", F.lit("pending"))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
-        .join(new_seen, "url", "left_anti")
+        .join(
+            scheduled_urls if seen is None else seen.select("url").unionByName(scheduled_urls),
+            "url",
+            "left_anti",
+        )
     )
     next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(discovered)
     _write(next_frontier, os.path.join(rdir, "frontier"), cfg.state_write_partitions)
