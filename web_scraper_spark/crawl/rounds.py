@@ -231,10 +231,14 @@ def run_round(
     _write(new_host_state, os.path.join(rdir, "host_state"), cfg.state_write_partitions)
 
     # -- next frontier: deferred pendings + discovered links ------------
+    # Only quota/budget overflow defers: rows dropped by the static
+    # filters (validity, ignore patterns, robots, depth) can never
+    # pass later and must NOT re-enter the frontier (at 10^10 URLs the
+    # frontier would otherwise accrete permanent junk); seen rows are
+    # gone by definition.
     scheduled_set = schedule.select("url")
-    deferred = (
-        frontier.filter(F.col("status") == "pending")
-        .join(scheduled_set, "url", "left_anti")
+    deferred = fresh.select([f.name for f in FRONTIER_SCHEMA.fields]).join(
+        scheduled_set, "url", "left_anti"
     )
     # Discovery ordering must be a pure function of the data, never of
     # partitioning (SURVEY.md §7 hard-part 2): priority = (first
