@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "q28_embed_near_dup", "q29_combined_name", "q50_extract_pages",
     "q51_simhash_near_dup", "q52_minhash_lsh", "q53_ivf_topk",
     "q54_media_features", "q55_video_docs", "q56_container_docs",
-    "q57_chapter_asof",
+    "q57_chapter_asof", "q58_simhash_md5",
 ]
 
 

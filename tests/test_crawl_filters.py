@@ -177,3 +177,26 @@ def test_seen_compaction_preserves_parity(spark, tmp_path):
     # a compaction marker exists at rounds 1 and 3
     assert os.path.exists(os.path.join(str(tmp_path / "ck"), "round=1", "_SEEN_COMPACT"))
     assert os.path.exists(os.path.join(str(tmp_path / "ck"), "round=3", "_SEEN_COMPACT"))
+
+
+def test_fetch_mode_budget_occupies_host_clock(spark):
+    """S3 mode budgets: advanced/super waits extend the per-host
+    spacing exactly like the reference's blocking Selenium waits."""
+    from pyspark.sql import functions as F
+    from web_scraper_spark.crawl.politeness import schedule_round
+    from web_scraper_spark.functions.columns import fetch_mode_wait_ms
+
+    cand = spark.createDataFrame(
+        [("https://a.x/0", "a.x", 0, 0.0, 0, "basic"),
+         ("https://a.x/1", "a.x", 0, 1.0, 1, "advanced"),
+         ("https://a.x/2", "a.x", 0, 2.0, 2, "super"),
+         ("https://a.x/3", "a.x", 0, 3.0, 3, "basic")],
+        "url string, host string, depth int, priority double, seq long, mode string",
+    )
+    with_delay = cand.withColumn(
+        "crawl_delay_ms", F.lit(1000) + fetch_mode_wait_ms(F.col("mode"))
+    ).drop("mode")
+    sched, _ = schedule_round(with_delay, None, quota_per_host=10)
+    offs = {r["seq"]: r["scheduled_offset_ms"] for r in sched.collect()}
+    # basic(1s) → advanced(6s) → super(16s) → basic
+    assert offs == {0: 0, 1: 1000, 2: 7000, 3: 23000}

@@ -179,3 +179,16 @@ def markdown_frontmatter(
         F.lit("# "), title, F.lit("\n\n"),
         F.lit("Source: ["), url, F.lit("]("), url, F.lit(")\n"),
     )
+
+
+def fetch_mode_wait_ms(mode: Column) -> Column:
+    """S3: per-mode fetch wait budgets — basic 0s, advanced 5s,
+    super 15s (contxt/scraper.py:96-124). Added to the host's
+    politeness delay so a slow-mode fetch occupies the host's
+    virtual clock, as the reference's blocking Selenium waits did."""
+    return (
+        F.when(mode == "advanced", F.lit(5000))
+        .when(mode == "super", F.lit(15000))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )

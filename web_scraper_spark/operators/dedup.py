@@ -323,3 +323,32 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+def simhash32_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash over the md5 hash family — engine-portable (the
+    per-token hash is the first 8 hex chars of md5, so a SQL oracle
+    can reproduce the fingerprint bit-for-bit; see q58). Same
+    explode+groupBy structure as :func:`simhash64_agg`."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), 1)).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(32):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", fp.alias("fp"))

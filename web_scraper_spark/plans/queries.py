@@ -920,3 +920,15 @@ def q29_combined_name(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     domains = F.slice(F.array_sort(F.collect_set("source")), 1, 3)
     return d.agg(F.concat_ws("_", domains).alias("combined_name"))
+
+_SIMHASH_ORACLE = "\nWITH toks AS (\n  SELECT doc_id AS id,\n         unnest(list_distinct(string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' '))) AS tok\n  FROM documents WHERE doc_id < 300),\nhashed AS (SELECT id, substr(md5(tok), 1, 8) AS h8 FROM toks),\nvals AS (SELECT id, (strpos('0123456789abcdef', substr(h8, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(h8, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(h8, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(h8, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(h8, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h8, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h8, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h8, 8, 1)) - 1) * 1 AS v FROM hashed),\nvotes AS (SELECT id, sum(CASE WHEN (v >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,\n      sum(CASE WHEN (v >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,\n      sum(CASE WHEN (v >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,\n      sum(CASE WHEN (v >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,\n      sum(CASE WHEN (v >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,\n      sum(CASE WHEN (v >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,\n      sum(CASE WHEN (v >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,\n      sum(CASE WHEN (v >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,\n      sum(CASE WHEN (v >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,\n      sum(CASE WHEN (v >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,\n      sum(CASE WHEN (v >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,\n      sum(CASE WHEN (v >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,\n      sum(CASE WHEN (v >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,\n      sum(CASE WHEN (v >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,\n      sum(CASE WHEN (v >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,\n      sum(CASE WHEN (v >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,\n      sum(CASE WHEN (v >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,\n      sum(CASE WHEN (v >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,\n      sum(CASE WHEN (v >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,\n      sum(CASE WHEN (v >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,\n      sum(CASE WHEN (v >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,\n      sum(CASE WHEN (v >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,\n      sum(CASE WHEN (v >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,\n      sum(CASE WHEN (v >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,\n      sum(CASE WHEN (v >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,\n      sum(CASE WHEN (v >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,\n      sum(CASE WHEN (v >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,\n      sum(CASE WHEN (v >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,\n      sum(CASE WHEN (v >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,\n      sum(CASE WHEN (v >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,\n      sum(CASE WHEN (v >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,\n      sum(CASE WHEN (v >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31 FROM vals GROUP BY id)\nSELECT id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS fp FROM votes\n"
+
+# =====================================================================
+# SimHash over the md5 family — fully oracle-checkable fingerprints
+# (bit-for-bit SQL reproduction; q51's xxhash64 variant stays the
+# fast path).
+# =====================================================================
+@query("q58_simhash_md5", oracle=_SIMHASH_ORACLE)
+def q58_simhash_md5(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash32_md5(d, "text", "doc_id")
