@@ -152,3 +152,40 @@ def test_strip_timestamps_raw_variant_drops_bracketless():
     # WITHOUT brackets are dropped entirely
     t = "[1.0s] a\nplain\n[2.0s] b"
     assert strip_timestamps_raw(t) == "a\nb"
+
+
+def test_render_complete_expr_matches_python_renderer(spark):
+    """The fully-JVM Column-expression renderer must byte-match the
+    Python renderer (and therefore the mapInPandas pipeline) for every
+    fixture video, in both standalone and container variants."""
+    from web_scraper_spark.operators.video import (
+        assemble_transcripts,
+        render_complete_expr,
+        top_comments,
+    )
+
+    vids = videos_df(spark, N)
+    t_with = assemble_transcripts(transcripts_df(spark, N))
+    ranked = top_comments(comments_df(spark, N), 30)
+    c_list = (
+        ranked.select("video_id", F.struct("rank", "author", "text").alias("c"))
+        .groupBy("video_id")
+        .agg(F.array_sort(F.collect_list("c")).alias("comments"))
+    )
+    joined = vids.join(t_with, "video_id", "left").join(c_list, "video_id", "left")
+
+    for standalone in (True, False):
+        expr_docs = {
+            r["video_id"]: r["doc"]
+            for r in joined.select(
+                "video_id", render_complete_expr(standalone).alias("doc")
+            ).collect()
+        }
+        py_docs = {
+            r["video_id"]: r["doc"]
+            for r in video_documents(
+                vids, transcripts_df(spark, N), chapters_df(spark, N),
+                comments_df(spark, N), style="complete", standalone=standalone,
+            ).collect()
+        }
+        assert expr_docs == py_docs, f"standalone={standalone}"

@@ -407,3 +407,64 @@ def container_documents(
         packed.mapInPandas(render, _DOC_SCHEMA)
         .withColumnRenamed("video_id", "container_id")
     )
+
+
+def render_complete_expr(standalone: bool = True) -> "F.Column":
+    """D6 'complete' renderer as a pure Column expression — zero
+    Python per row. Semantically identical to
+    :func:`render_video_complete` (parity-tested); this is the 100 TB
+    path: the whole videos⨝transcripts⨝comments document assembly
+    stays inside whole-stage codegen.
+
+    Expects columns: title, channel, url, description, transcript,
+    comments (array<struct<rank,author,text>> sorted by rank, or null).
+    """
+    h = "#" if standalone else "##"
+    cap = 10 if standalone else 5
+
+    title = F.when(
+        F.col("title").isNotNull() & (F.col("title") != ""), F.col("title")
+    ).otherwise(F.lit("Unknown Video"))
+    channel = F.when(
+        F.col("channel").isNotNull() & (F.col("channel") != ""), F.col("channel")
+    ).otherwise(F.lit("Unknown"))
+
+    head = F.array(
+        F.concat(F.lit(f"{h} "), title),
+        F.concat(F.lit("Channel: **"), channel, F.lit("**")),
+        F.concat(F.lit("URL: ["), F.col("url"), F.lit("]("), F.col("url"), F.lit(")")),
+        F.lit(""),
+    )
+    desc_block = F.when(
+        F.col("description").isNotNull() & (F.col("description") != ""),
+        F.array(F.lit(f"{h}# Description"), F.col("description"), F.lit("")),
+    ).otherwise(F.array().cast("array<string>"))
+    transcript_block = F.when(
+        F.col("transcript").isNotNull() & (F.col("transcript") != ""),
+        F.array(F.lit(f"{h}# Transcript"), F.lit("```"), F.col("transcript"), F.lit("```"), F.lit("")),
+    ).otherwise(
+        F.array(F.lit(f"{h}# Transcript"), F.lit("*No transcript available for this video.*"), F.lit(""))
+    )
+    comments_lines = F.flatten(
+        F.transform(
+            F.slice(F.coalesce(F.col("comments"), F.array().cast(
+                "array<struct<rank:int,author:string,text:string>>")), 1, cap),
+            lambda c: F.array(
+                F.concat(
+                    F.lit("**"),
+                    F.when(c["author"].isNotNull() & (c["author"] != ""), c["author"]).otherwise(F.lit("Anonymous")),
+                    F.lit("**: "),
+                    c["text"],
+                ),
+                F.lit(""),
+            ),
+        )
+    )
+    comments_block = F.when(
+        F.size(F.coalesce(F.col("comments"), F.array().cast(
+            "array<struct<rank:int,author:string,text:string>>"))) > 0,
+        F.concat(F.array(F.lit(f"{h}# Top Comments")), comments_lines),
+    ).otherwise(F.array().cast("array<string>"))
+
+    all_lines = F.concat(head, desc_block, transcript_block, comments_block)
+    return F.concat_ws("\n", all_lines)
