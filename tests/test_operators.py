@@ -4,6 +4,7 @@ hypothesis property tests for the scalar functions."""
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -11,6 +12,7 @@ from pyspark.sql import functions as F
 from web_scraper_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
+    simhash64_agg,
     simhash_near_dups,
 )
 from web_scraper_spark.operators.relational import asof_join, topk_per_group
@@ -77,8 +79,65 @@ def test_simhash_identical_docs_zero_hamming(spark):
         "id int, text string",
     )
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-             simhash_near_dups(df, "text", "id", max_hamming=64).collect()}
+             simhash_near_dups(df, "text", "id", max_hamming=63).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_simhash_max_hamming_validated(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id int, text string")
+    for bad in (-1, 64, 100):
+        with pytest.raises(ValueError):
+            simhash_near_dups(df, "text", "id", max_hamming=bad)
+
+
+def test_simhash_banding_recall_vs_bruteforce(spark):
+    """Round-1 verdict item 3: the fixed 4-block banding silently
+    dropped pairs at Hamming 4–8 that differ in all four blocks.
+    (max_hamming+1)-block banding must have PERFECT recall: the banded
+    pair set equals the brute-force pair set at the q51 parameters."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    max_h = 8
+    fps = {r["id"]: r["fp"] for r in
+           simhash64_agg(docs, "text", "doc_id").collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= max_h
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(docs, "text", "doc_id", max_hamming=max_h).collect()
+    }
+    assert brute, "vacuous: no brute-force pairs at this distance"
+    assert banded == brute, (
+        f"banding recall broken: missed {sorted(brute - banded)[:5]}, "
+        f"extra {sorted(banded - brute)[:5]}"
+    )
+
+
+def test_lsh_hot_bucket_cap_bounds_join(spark):
+    """Hot-bucket guard: a degenerate corpus (many identical docs →
+    one bucket per band) must NOT produce a quadratic candidate set
+    when max_bucket_size is set, and unrelated near-dup pairs in
+    normal-sized buckets must survive the cap."""
+    boiler = [(i, "lorem ipsum boiler plate page") for i in range(200)]
+    # one genuine near-dup pair with distinct vocabulary
+    pair = [(1000, "unique alpha beta gamma delta words"),
+            (1001, "unique alpha beta gamma delta words")]
+    df = spark.createDataFrame(boiler + pair, "id int, text string")
+    capped = minhash_lsh_candidates(
+        df, "text", "id", num_hashes=16, bands=4, max_bucket_size=50
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in got          # normal bucket survives
+    assert all(a >= 1000 for a, _ in got), f"hot-bucket pairs leaked: {sorted(got)[:5]}"
+    # without the cap the boilerplate bucket explodes quadratically
+    uncapped = minhash_lsh_candidates(df, "text", "id", num_hashes=16, bands=4)
+    assert uncapped.count() >= 200 * 199 // 2
 
 
 # ---------------------------------------------------------------------

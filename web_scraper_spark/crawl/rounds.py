@@ -142,7 +142,8 @@ def run_round(
         robots=robots,
         ignore_patterns=cfg.ignore_patterns,
     )
-    fresh = probe_seen(candidates, shards, seen, cfg.n_shards)
+    round_caches: list[DataFrame] = []
+    fresh = probe_seen(candidates, shards, seen, cfg.n_shards, unpersist_into=round_caches)
 
     # -- politeness scheduling -----------------------------------------
     delay_col = (
@@ -269,6 +270,12 @@ def run_round(
             "url",
             "left_anti",
         )
+        # a URL can be BOTH quota/budget-deferred this round and
+        # rediscovered in this round's extracted links; without this
+        # anti-join it would enter the next frontier twice (distinct
+        # priority/seq) and be fetched twice. The deferred row wins —
+        # it carries the earlier discovery's priority.
+        .join(deferred.select("url"), "url", "left_anti")
     )
     next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(discovered)
     _write(next_frontier, os.path.join(rdir, "frontier"), cfg.state_write_partitions)
@@ -280,6 +287,8 @@ def run_round(
     schedule.unpersist()
     fetched.unpersist()
     extracted.unpersist()
+    for cached in round_caches:
+        cached.unpersist()
 
     # atomic commit marker LAST
     with open(os.path.join(rdir, "_COMMIT"), "w") as fh:

@@ -20,10 +20,14 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import first_seen_dedup
+
+_LOG = logging.getLogger(__name__)
 
 
 def normalize_text(col: Column) -> Column:
@@ -84,15 +88,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` rows of
     ``num_hashes/bands`` values, hash each band, self-join per band
     bucket. Returns distinct (id_a < id_b) candidate pairs.
 
     The only shuffle is on (band_idx, band_hash); bucket sizes are
-    bounded by collision probability, so the self-join never reverts
-    to a cross product. At extreme scale add a bucket-size cap filter
-    before the join (hot-bucket guard)."""
+    bounded by collision probability for well-distributed content —
+    but degenerate corpora (e.g. millions of empty/boilerplate pages
+    sharing one signature) create hot buckets whose self-join is
+    quadratic. ``max_bucket_size`` is the guard: (band, bucket) groups
+    larger than the cap are excluded from the join. The drop is NOT
+    silent — the dropped bucket/row counts are computed eagerly at
+    call time (one small aggregate job on the banded keys) and logged
+    at WARNING; callers that need the numbers can recompute the same
+    aggregate. Hot buckets are by construction few, so the exclusion
+    join is a broadcast anti-join (no extra shuffle on the big side).
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
@@ -114,6 +127,29 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # persist: the bucket-size scan and the self-join both consume
+        # the banded keys; without this the signature expressions run
+        # twice over the source.
+        banded = banded.persist()
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+        )
+        stats = hot.agg(
+            F.count("*").alias("n_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+        ).collect()[0]
+        if stats["n_buckets"]:
+            _LOG.warning(
+                "minhash_lsh_candidates: dropping %d hot buckets (%d banded rows) "
+                "over max_bucket_size=%d — pairs within them are NOT emitted",
+                stats["n_buckets"], stats["n_rows"], max_bucket_size,
+            )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -245,11 +281,26 @@ def simhash_near_dups(
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``.
 
-    Candidate generation by 4-way block banding (Charikar/Manku-style):
-    split the 64-bit fingerprint into 4 16-bit blocks; any pair within
-    Hamming ≤ 3 agrees on ≥1 block, so join per (block_idx, block).
-    Shuffles only on small block keys."""
+    Candidate generation by (max_hamming+1)-way block banding
+    (Charikar/Manku pigeonhole): a pair with ≤ ``max_hamming``
+    differing bits spread over ``max_hamming+1`` disjoint blocks must
+    agree exactly on ≥ 1 block, so the per-(block_idx, block_value)
+    equi-join has PERFECT recall for any ``max_hamming`` ≤ 63 — the
+    fixed 4-block variant silently dropped distance-4..8 pairs that
+    differed in all four blocks. Shuffles only small block keys; the
+    final ``bit_count`` filter keeps precision exact."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    # nearly-equal contiguous bit spans covering all 64 bits
+    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     fp = simhash64_agg(df, text_col, id_col)
+
+    def block_val(start: int, width: int):
+        if width >= 64:  # n_blocks == 1: the whole fingerprint
+            return F.col("fp")
+        return F.shiftrightunsigned("fp", start).bitwiseAND(F.lit((1 << width) - 1))
+
     blocks = fp.select(
         "id",
         "fp",
@@ -258,9 +309,9 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("fp", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        block_val(bounds[i], bounds[i + 1] - bounds[i]).alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("b"),

@@ -66,9 +66,9 @@ def epoch_s(col) -> F.Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-           sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-           sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_disc_c
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_c
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -92,7 +92,7 @@ def q01_run_stats(spark, sf_dir):
     oracle="""
     SELECT r.r_name, n.n_name,
            count(*) AS n_customers,
-           sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS sum_bal_c
+           CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_c
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -272,15 +272,19 @@ def q08_sessionize(spark, sf_dir):
     oracle="""
     WITH ranked AS (
       SELECT lang, doc_id,
-             row_number() OVER (PARTITION BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+             row_number() OVER (PARTITION BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
                                 ORDER BY doc_id) AS rn
       FROM documents)
     SELECT lang, count(*) AS n_unique FROM ranked WHERE rn = 1 GROUP BY lang
     """,
 )
 def q09_first_seen_dedup(spark, sf_dir):
+    # Scale note: the dedup window keys on md5(normalized_text), a
+    # 32-byte digest, NOT the multi-KB text itself — the shuffle moves
+    # fixed-width keys regardless of document size (same trick as
+    # exact_dedup, operators/dedup.py:41). Mirrored in the oracle.
     d = _load(spark, sf_dir, "documents")
-    normed = d.withColumn("_k", D.normalize_text(F.col("text")))
+    normed = d.withColumn("_k", F.md5(D.normalize_text(F.col("text"))))
     kept = R.first_seen_dedup(normed, ["_k"], [F.col("doc_id")])
     return kept.groupBy("lang").agg(F.count("*").alias("n_unique"))
 
@@ -364,11 +368,14 @@ def _langid_oracle() -> str:
         )
         score_exprs.append(f"({parts}) AS s_{lang}")
     langs = sorted(TX.LANG_PROFILES)
-    # argmax with tie-break by language-code order
+    # argmax with tie-break to the EARLIEST language code (matches
+    # Spark's array_min over (neg_score, lang)): a lang must strictly
+    # beat every earlier lang (else the earlier one wins the tie) and
+    # only tie-or-beat later ones.
     best = "CASE "
     for lang in langs:
-        others = [f"s_{lang} >= s_{o}" for o in langs if o < lang]
-        others += [f"s_{lang} > s_{o}" for o in langs if o > lang]
+        others = [f"s_{lang} > s_{o}" for o in langs if o < lang]
+        others += [f"s_{lang} >= s_{o}" for o in langs if o > lang]
         cond = " AND ".join([f"s_{lang} > 0"] + others) if others else f"s_{lang} > 0"
         best += f"WHEN {cond} THEN '{lang}' "
     best += "ELSE 'und' END"
@@ -591,7 +598,7 @@ def q23_combined_fold(spark, sf_dir):
     oracle="""
     SELECT count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(round(value*100) AS BIGINT)) AS sum_value_c,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts,
            CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
     FROM events

@@ -91,21 +91,28 @@ def run_foreachbatch_extraction(
     stream = pages_stream(spark, pages_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: results and metrics are two actions over the same
+        # extraction — without the cache the Arrow extraction UDF runs
+        # twice per batch (round-1 verdict item 5; the batch path in
+        # crawl/rounds.py already persists).
         extracted = extract_pages(batch_df.repartition(
             batch_df.sparkSession.sparkContext.defaultParallelism
-        ))
-        (
-            extracted.select(
-                "url", "title", "text", "markdown", "token_count", "n_images",
-                F.lit(batch_id).alias("batch_id"),
+        )).persist()
+        try:
+            (
+                extracted.select(
+                    "url", "title", "text", "markdown", "token_count", "n_images",
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, "results"))
             )
-            .write.mode("append")
-            .parquet(os.path.join(out_dir, "results"))
-        )
-        metrics = extracted.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count("*").alias("n_rows"), F.sum("token_count").alias("tokens")
-        ).withColumn("batch_id", F.lit(batch_id))
-        metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+            metrics = extracted.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                F.count("*").alias("n_rows"), F.sum("token_count").alias("tokens")
+            ).withColumn("batch_id", F.lit(batch_id))
+            metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        finally:
+            extracted.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
