@@ -1,0 +1,205 @@
+"""Pluggable token-counting seam (A4).
+
+The reference counts tokens with tiktoken's cl100k_base and falls back
+to ``len(text)//4`` when the library is unavailable
+(/root/reference/contxt/scraper.py:407-426). tiktoken is not installed
+in this environment, so the seam makes the encoder pluggable behind
+the same interface tiktoken would use:
+
+- ``"tiktoken"`` — used automatically when the library is importable;
+  the wrapper exposes the identical ``encode``/``count`` surface.
+- ``"regex"`` (default stand-in) — the gpt2-style pretokenizer subset.
+  Deterministic, engine-portable (the SQL oracles use the same regex),
+  and — critically — it exposes a **pure-Column fast path**, so the
+  hot path stays JVM-side with zero Python when no real BPE encoder
+  is plugged in.
+- ``"minibpe"`` — a small vendored byte-pair encoder (embedded merge
+  table, no external data). This is the "real encoder" shape: encoding
+  is genuinely iterative Python, so it runs through the Arrow-batched
+  pandas UDF path, proving the seam end-to-end.
+- ``"char4"`` — the reference's ``len//4`` fallback.
+
+``token_count_column`` is the single entry point: it returns a JVM
+Column expression whenever the active encoder can be expressed as one
+(regex/char4), and an Arrow-batched pandas UDF otherwise. Swapping in
+tiktoken on a real cluster is a zero-code change (install the wheel)
+or ``get_encoder("tiktoken")`` explicitly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Protocol
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: gpt2-flavored pretokenizer subset: letter runs, single digits,
+#: single non-alphanumeric marks. Mirrored in the q12 SQL oracle.
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_PRETOKEN_RE = re.compile(PRETOKEN_PATTERN)
+
+
+class Encoder(Protocol):
+    """The tiktoken-shaped surface the seam expects."""
+
+    name: str
+
+    def encode(self, text: str) -> list:  # pragma: no cover - protocol
+        ...
+
+    def count(self, text: str) -> int:  # pragma: no cover - protocol
+        ...
+
+
+class RegexEncoder:
+    """Deterministic stand-in: one token per pretokenizer match.
+
+    ``as_column`` marks it JVM-expressible — the count compiles to a
+    ``regexp_count`` expression, no Python in the plan."""
+
+    name = "regex"
+
+    def encode(self, text: str) -> list[str]:
+        return _PRETOKEN_RE.findall(text or "")
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+    @staticmethod
+    def as_column(col: Column) -> Column:
+        return F.regexp_count(col, F.lit(PRETOKEN_PATTERN))
+
+
+class Char4Encoder:
+    """The reference's fallback estimator: ``len(text) // 4``."""
+
+    name = "char4"
+
+    def encode(self, text: str) -> list[str]:
+        t = text or ""
+        return [t[i : i + 4] for i in range(0, len(t) - len(t) % 4, 4)]
+
+    def count(self, text: str) -> int:
+        return len(text or "") // 4
+
+    @staticmethod
+    def as_column(col: Column) -> Column:
+        return (F.length(col) / 4).cast("int")
+
+
+# A compact embedded merge table: common English digraphs/trigraphs,
+# rank = list position (lower merges first). This is NOT a trained
+# vocabulary — it exists so the vendored encoder has real, meaningful
+# merge behavior with zero external data.
+_MINIBPE_MERGES: tuple[str, ...] = (
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur",
+    "the", "ing", "and", "ion", "ent", "for", "tio", "ere", "her",
+    "ate", "ver", "ter", "tha", "ati",
+)
+
+
+class MiniBPE:
+    """Vendored byte-pair encoder with an embedded merge table.
+
+    Greedy lowest-rank-first pair merging over the pretokenized
+    pieces, like real BPE; the simplification (documented, deliberate)
+    is that merge ranks key on the *concatenated* byte string rather
+    than the (left, right) token pair — deterministic and
+    well-defined, just not a trained tokenizer. Encoding is iterative
+    Python, so Spark-side counting goes through the Arrow UDF path —
+    exactly the shape a tiktoken deployment would use."""
+
+    name = "minibpe"
+
+    def __init__(self, merges: tuple[str, ...] = _MINIBPE_MERGES):
+        self.ranks: dict[bytes, int] = {
+            m.encode("utf-8"): i for i, m in enumerate(merges)
+        }
+
+    def _merge_piece(self, piece: bytes) -> list[bytes]:
+        word = [piece[i : i + 1] for i in range(len(piece))]
+        while len(word) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(word) - 1):
+                r = self.ranks.get(word[i] + word[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            word[best_i : best_i + 2] = [word[best_i] + word[best_i + 1]]
+        return word
+
+    def encode(self, text: str) -> list[bytes]:
+        out: list[bytes] = []
+        for piece in _PRETOKEN_RE.findall((text or "").lower()):
+            out.extend(self._merge_piece(piece.encode("utf-8")))
+        return out
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+class _TiktokenEncoder:  # pragma: no cover - tiktoken absent in sandbox
+    name = "tiktoken"
+
+    def __init__(self, model: str = "cl100k_base"):
+        import tiktoken
+
+        self._enc = tiktoken.get_encoding(model)
+
+    def encode(self, text: str) -> list[int]:
+        return self._enc.encode(text or "", disallowed_special=())
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+def get_encoder(name: str = "auto") -> Encoder:
+    """Resolve an encoder by name. ``"auto"`` prefers tiktoken when
+    importable (a real cluster with the wheel installed), otherwise
+    the regex stand-in — matching the reference's try/except fallback
+    (contxt/scraper.py:407-426)."""
+    if name == "auto":
+        try:
+            return _TiktokenEncoder()
+        except ImportError:
+            return RegexEncoder()
+    if name == "tiktoken":
+        return _TiktokenEncoder()
+    if name == "regex":
+        return RegexEncoder()
+    if name == "minibpe":
+        return MiniBPE()
+    if name == "char4":
+        return Char4Encoder()
+    raise ValueError(f"unknown encoder {name!r}")
+
+
+def token_count_column(col: Column, encoder: Encoder | None = None) -> Column:
+    """Token count of ``col`` through the seam.
+
+    JVM fast path: encoders that declare ``as_column`` compile to a
+    pure Column expression (no Python in the plan). Anything else —
+    a real BPE — becomes an Arrow-batched pandas UDF (one Python
+    crossing per batch, never per row)."""
+    enc = encoder or get_encoder("auto")
+    as_col = getattr(enc, "as_column", None)
+    if as_col is not None:
+        return as_col(col)
+
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda (not a def): `from __future__ import annotations` would
+    # stringify a def's type hints and break pandas_udf inference
+    _count = pandas_udf(
+        lambda s: s.map(lambda t: enc.count(t) if t is not None else None).astype(
+            "Int32"
+        ),
+        "int",
+    )
+    return _count(col)

@@ -146,7 +146,15 @@ def extract_pages(
         out = out.withColumn(name, F.col(f"_ex.{name}"))
     out = out.drop("_ex", html_col)
     if want_tokens:
-        out = out.withColumn("token_count", (F.length("clean_html") / 4).cast("int"))
+        # A4 via the tokenizer seam: the char4 fallback matches the
+        # reference's tiktoken-absent branch (contxt/scraper.py:423-426)
+        # and compiles to a JVM expression; a real cluster swaps the
+        # encoder without touching this call site.
+        from .tokenizer import Char4Encoder, token_count_column
+
+        out = out.withColumn(
+            "token_count", token_count_column(F.col("clean_html"), Char4Encoder())
+        )
     if want_nimages:
         out = out.withColumn("n_images", F.size("images"))
     return out

@@ -74,38 +74,62 @@ def extract_media_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                payload = bytes(payload) if payload is not None else b""
-                w, h, nf = _fake_decode(payload)
-                feat = [float((b % 17)) / 16.0 for b in hashlib.md5(payload).digest()[:8]]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "content_hash": hashlib.md5(payload).hexdigest(),
-                        "n_bytes": len(payload),
-                        "width": w if row["kind"] == "image" else None,
-                        "height": h if row["kind"] == "image" else None,
-                        "n_frames": nf if row["kind"] == "video" else None,
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            # columnar pass over plain lists (NOT iterrows — ~50×
+            # per-row overhead); the md5 is computed once per payload
+            # and reused for hash, fake-decode, and feature bytes.
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"].tolist()
+            ]
+            kinds = pdf["kind"].tolist()
+            digs = [hashlib.md5(p).digest() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].tolist(),
+                    "kind": kinds,
+                    "content_hash": [d.hex() for d in digs],
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [
+                        16 + d[0] % 64 if k == "image" else None
+                        for d, k in zip(digs, kinds)
+                    ],
+                    "height": [
+                        16 + d[1] % 64 if k == "image" else None
+                        for d, k in zip(digs, kinds)
+                    ],
+                    "n_frames": [
+                        1 + d[2] % 8 if k == "video" else None
+                        for d, k in zip(digs, kinds)
+                    ],
+                    "feature": [
+                        [float(b % 17) / 16.0 for b in d[:8]] for d in digs
+                    ],
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
 def media_dedup(features: DataFrame) -> DataFrame:
     """Content-hash dedup of media items (J3 semantics at media scale):
-    keep lowest media_id per digest, count duplicates — one shuffle on
-    the digest."""
-    from .relational import first_seen_dedup
+    keep lowest media_id per digest, count duplicates.
 
-    winners = first_seen_dedup(features, ["content_hash"], [F.col("media_id")])
-    counts = features.groupBy("content_hash").agg(F.count("*").alias("copies"))
-    return winners.join(counts, "content_hash")
+    Single pass: ``min(struct(media_id, …))`` picks the winner row and
+    ``count(*)`` the copies in ONE aggregate — one shuffle on the
+    digest, map-side partial agg, and (critically) a single scan of
+    the upstream Python feature stage. The window+join form scanned
+    it twice."""
+    rest = [c for c in features.columns if c not in ("content_hash", "media_id")]
+    agg = features.groupBy("content_hash").agg(
+        F.min(F.struct("media_id", *rest)).alias("_w"),
+        F.count("*").alias("copies"),
+    )
+    return agg.select(
+        "content_hash",
+        F.col("_w.media_id").alias("media_id"),
+        *[F.col(f"_w.{c}").alias(c) for c in rest],
+        "copies",
+    )
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
@@ -119,10 +143,14 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
             for rid in pdf["id"].tolist():
                 rid = int(rid)
                 # payload depends only on rid//3 → every consecutive
-                # triple shares identical bytes (deliberate duplicates)
-                payload = hashlib.md5(f"{seed}:{rid // 3}".encode()).digest() * (
-                    1 + (rid // 3) % 5
-                )
+                # triple shares identical bytes (deliberate duplicates).
+                # ASCII-hex chain (not raw digest bytes) so a SQL
+                # oracle can recompute md5(payload) — DuckDB 1.0's md5
+                # is VARCHAR-only (see q54's oracle).
+                payload = (
+                    hashlib.md5(f"{seed}:{rid // 3}".encode()).hexdigest()
+                    * (1 + (rid // 3) % 5)
+                ).encode("ascii")
                 kind = kinds[rid % 3]
                 rows.append(
                     {

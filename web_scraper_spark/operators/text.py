@@ -61,9 +61,14 @@ def whitespace_token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-flavored token estimate: count word pieces + digits runs +
-    punctuation singletons (a gpt2-style pretokenizer regex subset)."""
-    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    """BPE-flavored token estimate, routed through the pluggable
+    tokenizer seam (functions/tokenizer.py — A4). With no real BPE
+    library installed this compiles to the gpt2-style pretokenizer
+    regex as a pure JVM expression; plugging tiktoken/minibpe swaps in
+    the Arrow UDF path with no caller changes."""
+    from ..functions.tokenizer import get_encoder, token_count_column
+
+    return token_count_column(text, get_encoder("regex"))
 
 
 def char_token_estimate(text: Column) -> Column:

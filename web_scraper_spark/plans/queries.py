@@ -740,11 +740,9 @@ def q50_extract_pages(spark, sf_dir):
     return ex.select("url", "title", "token_count", "n_images")
 
 
-@query("q51_simhash_near_dup")
-def q51_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 family — no DuckDB twin)."""
-    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return D.simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+# q51 is registered further down, next to q58: its oracle wraps
+# _SIMHASH_ORACLE (the bit-for-bit fingerprint SQL) in a brute-force
+# pair join.
 
 
 _LSH_ORACLE = "\n    WITH docs AS (\n      SELECT doc_id,\n             list_distinct(string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ')) AS toks\n      FROM documents WHERE doc_id < 300),\n    sigs AS (\n      SELECT doc_id,\n      list_min(list_transform(toks, s -> md5(s || '#0'))) AS s0,\n      list_min(list_transform(toks, s -> md5(s || '#1'))) AS s1,\n      list_min(list_transform(toks, s -> md5(s || '#2'))) AS s2,\n      list_min(list_transform(toks, s -> md5(s || '#3'))) AS s3,\n      list_min(list_transform(toks, s -> md5(s || '#4'))) AS s4,\n      list_min(list_transform(toks, s -> md5(s || '#5'))) AS s5,\n      list_min(list_transform(toks, s -> md5(s || '#6'))) AS s6,\n      list_min(list_transform(toks, s -> md5(s || '#7'))) AS s7,\n      list_min(list_transform(toks, s -> md5(s || '#8'))) AS s8,\n      list_min(list_transform(toks, s -> md5(s || '#9'))) AS s9,\n      list_min(list_transform(toks, s -> md5(s || '#10'))) AS s10,\n      list_min(list_transform(toks, s -> md5(s || '#11'))) AS s11,\n      list_min(list_transform(toks, s -> md5(s || '#12'))) AS s12,\n      list_min(list_transform(toks, s -> md5(s || '#13'))) AS s13,\n      list_min(list_transform(toks, s -> md5(s || '#14'))) AS s14,\n      list_min(list_transform(toks, s -> md5(s || '#15'))) AS s15\n      FROM docs),\n    bands AS (\n      SELECT doc_id, unnest([{'band': 0, 'bucket': md5(s0 || '|' || s1)}, {'band': 1, 'bucket': md5(s2 || '|' || s3)}, {'band': 2, 'bucket': md5(s4 || '|' || s5)}, {'band': 3, 'bucket': md5(s6 || '|' || s7)}, {'band': 4, 'bucket': md5(s8 || '|' || s9)}, {'band': 5, 'bucket': md5(s10 || '|' || s11)}, {'band': 6, 'bucket': md5(s12 || '|' || s13)}, {'band': 7, 'bucket': md5(s14 || '|' || s15)}], recursive := true)\n      FROM sigs),\n    cand AS (\n      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket\n      WHERE a.doc_id < b.doc_id),\n    inv AS (SELECT doc_id, len(toks) AS n, toks FROM docs),\n    scored AS (\n      SELECT c.id_a, c.id_b,\n             len(list_intersect(x.toks, y.toks)) AS common,\n             x.n AS na, y.n AS nb\n      FROM cand c JOIN inv x ON x.doc_id = c.id_a JOIN inv y ON y.doc_id = c.id_b)\n    SELECT id_a, id_b,\n           round(CAST(common AS DOUBLE)/(na+nb-common), 6) AS jaccard\n    FROM scored WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.5\n    "
@@ -802,16 +800,38 @@ def q53_ivf_topk(spark, sf_dir):
     return S.cosine_topk_ivf(q, assigned, cents_df, "embedding", "vec_id", k=5, nprobe=2)
 
 
-@query("q54_media_features")
+@query(
+    "q54_media_features",
+    oracle="""
+    WITH m AS (
+      SELECT g AS media_id,
+             CASE g % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             repeat(md5('42:' || CAST(g // 3 AS VARCHAR)), 1 + (g // 3) % 5) AS payload
+      FROM range(300) t(g))
+    SELECT min(media_id) AS media_id,
+           arg_min(kind, media_id) AS kind,
+           md5(payload) AS content_hash,
+           CAST(length(payload) AS INT) AS n_bytes,
+           count(*) AS copies
+    FROM m GROUP BY payload
+    """,
+)
 def q54_media_features(spark, sf_dir):
-    """Multimodal plumbing: synthetic media → features → content dedup."""
+    """Multimodal plumbing: synthetic media → features → content dedup.
+
+    The synthetic payload is an ASCII md5-hex chain, so the DuckDB
+    oracle reproduces content_hash/n_bytes/copies exactly (the binary
+    column, Arrow batch shape, and decode seam are still exercised on
+    the Spark side)."""
     from ..operators.multimodal import extract_media_features, media_dedup, synth_media
 
     # shuffle boundary between the synth (Python) and feature (Python)
     # stages — same rationale as q50
     media = synth_media(spark, 300).repartition(16)
     feats = extract_media_features(media)
-    return media_dedup(feats).select("media_id", "kind", "content_hash", "copies")
+    return media_dedup(feats).select(
+        "media_id", "kind", "content_hash", "n_bytes", "copies"
+    )
 
 
 # =====================================================================
@@ -850,14 +870,67 @@ def q56_container_docs(spark, sf_dir):
     return out.select("container_id", F.length("doc").alias("doc_len"), F.md5("doc").alias("doc_md5"))
 
 
-@query("q57_chapter_asof")
+@query(
+    "q57_chapter_asof",
+    oracle="""
+    WITH lines AS (
+      SELECT CAST(user_id AS VARCHAR) AS video_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS pos,
+             CASE WHEN event_id % 8 = 5 THEN -1.0
+                  ELSE CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) END AS t,
+             event_type AS text
+      FROM events),
+    ch AS (
+      SELECT CAST(user_id AS VARCHAR) AS video_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS k,
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS start_time
+      FROM events WHERE event_id % 10 = 0),
+    anchors AS (
+      SELECT c.video_id, c.k, min(l.pos) AS anchor_pos
+      FROM ch c JOIN lines l ON l.video_id = c.video_id AND l.t >= c.start_time
+      GROUP BY c.video_id, c.k),
+    parts AS (
+      SELECT video_id, anchor_pos AS pos, 0 AS kind, k AS sub,
+             e'\\n' || '## Chapter ' || CAST(k AS VARCHAR) AS line
+      FROM anchors
+      UNION ALL
+      SELECT l.video_id, l.pos, 1 AS kind, 0 AS sub, l.text AS line
+      FROM lines l SEMI JOIN ch c ON l.video_id = c.video_id)
+    SELECT video_id,
+           md5(string_agg(line, e'\\n' ORDER BY pos, kind, sub)) AS organized_md5
+    FROM parts GROUP BY video_id
+    """,
+)
 def q57_chapter_asof(spark, sf_dir):
-    """J2 as the anchor-join organization over the synthetic star schema."""
+    """J2's anchor-join organization (organize_by_chapters_df), driven
+    by chapter/transcript tables derived from the registered ``events``
+    table so the whole ordered-fold + anchor-join path is oracle-
+    checked (the video-star parity stays in tests/test_video.py).
+    Every 10th event is a chapter boundary; lines with
+    ``event_id % 8 == 5`` carry no timestamp (the quirk-Q12 non-advance
+    path: t=-1 matches no chapter)."""
     from ..operators.video import organize_by_chapters_df
-    from ..sources import youtube as Y
 
-    n = 24
-    org = organize_by_chapters_df(Y.transcripts_df(spark, n), Y.chapters_df(spark, n))
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lines = e.select(
+        F.col("user_id").cast("string").alias("video_id"),
+        F.row_number().over(w).alias("pos"),
+        F.when(F.col("event_id") % 8 == 5, F.lit(None).cast("double"))
+        .otherwise(epoch_s(F.col("ts")).cast("double"))
+        .alias("start"),
+        F.col("event_type").alias("text"),
+    )
+    chapters = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .select(
+            F.col("user_id").cast("string").alias("video_id"),
+            F.row_number().over(w).alias("k"),
+            epoch_s(F.col("ts")).cast("double").alias("start_time"),
+        )
+        .withColumn("title", F.concat(F.lit("Chapter "), F.col("k").cast("string")))
+    )
+    org = organize_by_chapters_df(lines, chapters)
     return org.select("video_id", F.md5("organized").alias("organized_md5"))
 
 
@@ -939,3 +1012,24 @@ _SIMHASH_ORACLE = "\nWITH toks AS (\n  SELECT doc_id AS id,\n         unnest(lis
 def q58_simhash_md5(spark, sf_dir):
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.simhash32_md5(d, "text", "doc_id")
+
+
+@query(
+    "q51_simhash_near_dup",
+    oracle=f"""
+    WITH fps AS ({_SIMHASH_ORACLE})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 4
+    """,
+)
+def q51_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs over the md5-32 family. The Spark side
+    uses pigeonhole banding (the scale path: shuffles only block
+    keys); the oracle brute-forces all pairs from the bit-identical
+    fingerprint SQL — set equality is exactly the banding's perfect-
+    recall guarantee (tested brute-vs-banded in test_operators.py).
+    The xxhash64 fast path keeps its own Spark-internal tests."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_near_dups_md5(d, "text", "doc_id", max_hamming=4)
