@@ -154,38 +154,61 @@ def test_strip_timestamps_raw_variant_drops_bracketless():
     assert strip_timestamps_raw(t) == "a\nb"
 
 
-def test_render_complete_expr_matches_python_renderer(spark):
-    """The fully-JVM Column-expression renderer must byte-match the
-    Python renderer (and therefore the mapInPandas pipeline) for every
-    fixture video, in both standalone and container variants."""
-    from web_scraper_spark.operators.video import (
-        assemble_transcripts,
-        render_complete_expr,
-        top_comments,
+def _py_expected_doc(i: int, style: str, standalone: bool = True) -> str:
+    """Driver-side oracle: render video i with the pure-Python
+    reference-semantics renderers from the raw fixture rows."""
+    from web_scraper_spark.operators.video import render_video_chapters
+
+    data = gen_video_rows(i)
+    v = data["video"]
+    if style == "raw":
+        return render_video_raw(
+            v["title"], v["channel"], v["url"], py_transcript(data, with_ts=False)
+        )
+    if style == "chapters":
+        chs = sorted(data["chapters"], key=lambda c: c["k"])
+        return render_video_chapters(
+            v["title"], v["channel"], v["url"], v["description"],
+            py_transcript(data), chs,
+        )
+    roots = [c for c in data["comments"] if c["parent"] == "root"]
+    ranked = sorted(roots, key=lambda c: (-(c["like_count"] or 0), c["comment_id"]))[:30]
+    return render_video_complete(
+        v["title"], v["channel"], v["url"], v["description"],
+        py_transcript(data), [(c["author"], c["text"]) for c in ranked],
+        standalone=standalone,
     )
 
-    vids = videos_df(spark, N)
-    t_with = assemble_transcripts(transcripts_df(spark, N))
-    ranked = top_comments(comments_df(spark, N), 30)
-    c_list = (
-        ranked.select("video_id", F.struct("rank", "author", "text").alias("c"))
-        .groupBy("video_id")
-        .agg(F.array_sort(F.collect_list("c")).alias("comments"))
-    )
-    joined = vids.join(t_with, "video_id", "left").join(c_list, "video_id", "left")
 
-    for standalone in (True, False):
-        expr_docs = {
-            r["video_id"]: r["doc"]
-            for r in joined.select(
-                "video_id", render_complete_expr(standalone).alias("doc")
-            ).collect()
-        }
-        py_docs = {
-            r["video_id"]: r["doc"]
-            for r in video_documents(
-                vids, transcripts_df(spark, N), chapters_df(spark, N),
-                comments_df(spark, N), style="complete", standalone=standalone,
-            ).collect()
-        }
-        assert expr_docs == py_docs, f"standalone={standalone}"
+@pytest.mark.parametrize("style", ["complete", "raw", "chapters"])
+def test_render_exprs_match_python_renderers(spark, style):
+    """video_documents now renders every style as a pure Column
+    expression — each must byte-match the Python reference renderer
+    for EVERY fixture video (incl. chapter-less videos, empty
+    descriptions, and the no-timestamp transcript lines)."""
+    docs = {
+        r["video_id"]: r["doc"]
+        for r in video_documents(
+            videos_df(spark, N), transcripts_df(spark, N),
+            chapters_df(spark, N), comments_df(spark, N), style=style,
+        ).collect()
+    }
+    assert len(docs) == N
+    for i in range(N):
+        assert docs[video_id_of(i)] == _py_expected_doc(i, style), f"video {i} ({style})"
+
+
+def test_render_complete_expr_container_variant(spark):
+    """standalone=False ('##' headings, 5-comment cap) parity."""
+    docs = {
+        r["video_id"]: r["doc"]
+        for r in video_documents(
+            videos_df(spark, N), transcripts_df(spark, N),
+            chapters_df(spark, N), comments_df(spark, N),
+            style="complete", standalone=False,
+        ).collect()
+    }
+    for i in range(N):
+        assert docs[video_id_of(i)] == _py_expected_doc(
+            i, "complete", standalone=False
+        ), f"video {i}"

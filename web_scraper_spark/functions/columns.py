@@ -181,6 +181,30 @@ def markdown_frontmatter(
     )
 
 
+def markdown_images_section(imgs: Column) -> Column:
+    """D3 tail as a pure Column expression: the '## Images' block
+    (contxt/formatters/markdown_formatter.py:64-83) over an
+    ``array<struct<alt, resolved>>`` column — ``resolved`` is the
+    image-map-joined local path with remote-URL fallback (J1,
+    sources/sinks.py:image_map_join). Empty/blank alt falls back to
+    'Image'; an empty array yields '' (section omitted), matching the
+    Python formatter byte-for-byte (joined with '\\n' onto the doc)."""
+
+    def line(s):
+        alt = F.when(
+            s["alt"].isNull() | (s["alt"] == ""), F.lit("Image")
+        ).otherwise(s["alt"])
+        return F.concat(F.lit("!["), alt, F.lit("]("), s["resolved"], F.lit(")"))
+
+    return F.when(
+        imgs.isNotNull() & (F.size(imgs) > 0),
+        F.concat(
+            F.lit("\n\n## Images\n\n"),
+            F.concat_ws("\n", F.transform(imgs, line)),
+        ),
+    ).otherwise(F.lit(""))
+
+
 def fetch_mode_wait_ms(mode: Column) -> Column:
     """S3: per-mode fetch wait budgets — basic 0s, advanced 5s,
     super 15s (contxt/scraper.py:96-124). Added to the host's

@@ -188,10 +188,16 @@ def format_markdown_document(
     og_description: str | None = None,
     add_frontmatter: bool = True,
     include_source_link: bool = True,
+    images: list[dict] | None = None,
+    image_map: dict[str, str] | None = None,
+    include_images: bool = True,
 ) -> str:
     """Assemble the final Markdown document (D3,
     contxt/formatters/markdown_formatter.py:27-83): YAML-ish
-    frontmatter with escaped quotes, H1 title, source link, body."""
+    frontmatter with escaped quotes, H1 title, source link, body,
+    and the '## Images' section with image-map-resolved local paths
+    (J1; unmapped URLs fall back to the remote URL, reference
+    markdown_formatter.py:64-83)."""
     if not content_html:
         return f"# Error: {title or 'Unknown'}\n\nFailed to fetch content from {url or 'Unknown URL'}"
 
@@ -208,4 +214,11 @@ def format_markdown_document(
     if include_source_link:
         result.append(f"Source: [{url}]({url})\n")
     result.append(html_to_markdown(content_html))
+    if include_images and images:
+        image_map = image_map or {}
+        result.append("\n## Images\n")
+        for img in images:
+            img_url = img["url"]
+            img_alt = img.get("alt", "") or "Image"
+            result.append(f"![{img_alt}]({image_map.get(img_url, img_url)})")
     return "\n".join(result)

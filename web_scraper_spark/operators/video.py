@@ -334,36 +334,17 @@ def video_documents(
         .join(organized, "video_id", "left")
     )
 
-    def render(batches):
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                raw_comments = r["comments"] if r["comments"] is not None else []
-                raw_chapters = r["chapters"] if r["chapters"] is not None else []
-                comments_l = [(c["author"], c["text"]) for c in raw_comments]
-                chapters_l = [
-                    {"k": c["k"], "start_time": c["start_time"], "title": c["title"]}
-                    for c in raw_chapters
-                ]
-                if style == "raw":
-                    tnt = r["transcript_no_times"]
-                    if not tnt and r["transcript"]:
-                        tnt = strip_timestamps_raw(r["transcript"])
-                    doc = render_video_raw(r["title"], r["channel"], r["url"], tnt or "")
-                elif style == "chapters":
-                    doc = render_video_chapters(
-                        r["title"], r["channel"], r["url"], r["description"] or "",
-                        r["transcript"] or "", chapters_l,
-                    )
-                else:
-                    doc = render_video_complete(
-                        r["title"], r["channel"], r["url"], r["description"] or "",
-                        r["transcript"] or "", comments_l, standalone=standalone,
-                    )
-                rows.append({"video_id": r["video_id"], "doc": doc})
-            yield pd.DataFrame(rows, columns=["video_id", "doc"])
-
-    return joined.mapInPandas(render, _DOC_SCHEMA)
+    # All three styles render as pure Column expressions — the whole
+    # star-join → document assembly stays inside whole-stage codegen,
+    # zero Python per row (the Python renderers above remain the
+    # per-row oracles for the byte-parity tests).
+    if style == "raw":
+        expr = render_raw_expr()
+    elif style == "chapters":
+        expr = render_chapters_expr()
+    else:
+        expr = render_complete_expr(standalone)
+    return joined.select("video_id", expr.alias("doc"))
 
 
 def container_documents(
@@ -467,4 +448,117 @@ def render_complete_expr(standalone: bool = True) -> "F.Column":
     ).otherwise(F.array().cast("array<string>"))
 
     all_lines = F.concat(head, desc_block, transcript_block, comments_block)
+    return F.concat_ws("\n", all_lines)
+
+
+def strip_timestamps_raw_expr(t: "F.Column") -> "F.Column":
+    """Column twin of :func:`strip_timestamps_raw` (Q8 variant A):
+    lines containing both brackets keep the text after the first ']'
+    (lstripped); bracket-less lines are DROPPED (faithful quirk); a
+    transcript with no brackets at all passes through unchanged."""
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, lambda l: l.contains("[") & l.contains("]"))
+    mapped = F.transform(
+        kept,
+        lambda l: F.when(
+            F.instr(l, "]") < F.length(l),
+            F.regexp_replace(F.substr(l, F.instr(l, "]") + 1), r"^\s+", ""),
+        ).otherwise(l),
+    )
+    return F.when(
+        t.contains("[") & t.contains("]"), F.concat_ws("\n", mapped)
+    ).otherwise(t)
+
+
+def strip_timestamps_split_expr(t: "F.Column") -> "F.Column":
+    """Column twin of :func:`strip_timestamps_split` (Q8 variant B):
+    lines starting with '[' take the text after the first '] '
+    (kept whole when there is no '] '); other lines pass through."""
+    lines = F.split(t, "\n")
+    mapped = F.transform(
+        lines,
+        lambda l: F.when(
+            l.startswith("[") & l.contains("] "),
+            F.regexp_replace(l, r"^.*?\] ", ""),
+        ).otherwise(l),
+    )
+    return F.concat_ws("\n", mapped)
+
+
+def render_raw_expr() -> "F.Column":
+    """D6 'raw' renderer as a pure Column expression — semantically
+    identical to :func:`render_video_raw` incl. the
+    transcript_no_times → strip(transcript) fallback (parity-tested).
+
+    Expects columns: title, channel, url, transcript,
+    transcript_no_times."""
+    tnt = F.when(
+        F.col("transcript_no_times").isNotNull() & (F.col("transcript_no_times") != ""),
+        F.col("transcript_no_times"),
+    ).otherwise(
+        F.when(
+            F.col("transcript").isNotNull() & (F.col("transcript") != ""),
+            strip_timestamps_raw_expr(F.col("transcript")),
+        ).otherwise(F.lit(""))
+    )
+    title = F.when(
+        F.col("title").isNotNull() & (F.col("title") != ""), F.col("title")
+    ).otherwise(F.lit("Unknown Video"))
+    channel = F.when(
+        F.col("channel").isNotNull() & (F.col("channel") != ""), F.col("channel")
+    ).otherwise(F.lit("Unknown"))
+    head = F.array(
+        F.concat(F.lit("Title: "), title),
+        F.concat(F.lit("Channel: "), channel),
+        F.concat(F.lit("URL: "), F.col("url")),
+        F.lit(""),
+    )
+    tail = F.when(
+        tnt != "", F.array(F.lit("Transcript:"), tnt)
+    ).otherwise(F.array(F.lit("No transcript available for this video.")))
+    return F.concat_ws("\n", F.concat(head, tail))
+
+
+def render_chapters_expr() -> "F.Column":
+    """D6 'chapters' renderer as a pure Column expression —
+    semantically identical to :func:`render_video_chapters` with the
+    chapter organization taken from the already-computed ``organized``
+    column (organize_by_chapters_df; byte-parity with the Python
+    cursor loop is covered by the Q12 tests).
+
+    Expects columns: title, channel, url, description, transcript,
+    chapters (array, may be null), organized (string, null for
+    chapter-less videos)."""
+    title = F.when(
+        F.col("title").isNotNull() & (F.col("title") != ""), F.col("title")
+    ).otherwise(F.lit("Unknown Video"))
+    channel = F.when(
+        F.col("channel").isNotNull() & (F.col("channel") != ""), F.col("channel")
+    ).otherwise(F.lit("Unknown"))
+    head = F.array(
+        F.concat(F.lit("# "), title),
+        F.concat(F.lit("Channel: **"), channel, F.lit("**")),
+        F.concat(F.lit("URL: ["), F.col("url"), F.lit("]("), F.col("url"), F.lit(")")),
+        F.lit(""),
+    )
+    desc_block = F.when(
+        F.col("description").isNotNull() & (F.col("description") != ""),
+        F.array(F.lit("## Description"), F.col("description"), F.lit("")),
+    ).otherwise(F.array().cast("array<string>"))
+    has_transcript = F.col("transcript").isNotNull() & (F.col("transcript") != "")
+    has_chapters = F.col("chapters").isNotNull() & (F.size(F.col("chapters")) > 0)
+    body = (
+        F.when(has_chapters & has_transcript, F.array(F.col("organized")))
+        .when(
+            has_transcript,
+            F.array(
+                F.lit("## Full Transcript"),
+                strip_timestamps_split_expr(F.col("transcript")),
+            ),
+        )
+        .otherwise(F.array(F.lit("*No transcript available for this video.*")))
+    )
+    all_lines = F.concat(
+        head, desc_block, F.array(F.lit("# Transcript")), body, F.array(F.lit(""))
+    )
     return F.concat_ws("\n", all_lines)
