@@ -200,3 +200,41 @@ def test_fetch_mode_budget_occupies_host_clock(spark):
     offs = {r["seq"]: r["scheduled_offset_ms"] for r in sched.collect()}
     # basic(1s) → advanced(6s) → super(16s) → basic
     assert offs == {0: 0, 1: 1000, 2: 7000, 3: 23000}
+
+
+def test_probe_seen_upstream_executes_once(spark, tmp_path):
+    """Round-1 verdict item 4: the Bloom probe and its upstream chain
+    must execute exactly once per round. The upstream generator writes
+    one marker row per processed input row: with eager cache fill the
+    total equals the input size; the unpersisted form ran it twice
+    (once each for the fresh and suspects branches)."""
+    import pandas as pd
+
+    marker = str(tmp_path / "probe_runs.log")
+    n_shards = 4
+    all_urls = [f"https://h{i % 3}.x/p{i}" for i in range(100)]
+    seen_urls = all_urls[:40]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    shards = build_seen_shards(seen_df, n_shards, round_id=0)
+
+    def tracked(batches):
+        for pdf in batches:
+            with open(marker, "a") as fh:
+                fh.write(f"{len(pdf)}\n")
+            yield pdf
+
+    cand = (
+        spark.createDataFrame([(u,) for u in all_urls], "url string")
+        .repartition(4)
+        .mapInPandas(tracked, "url string")
+    )
+    out = probe_seen(cand, shards, seen_df, n_shards, eager=True)
+    assert out.count() == 60
+    assert out.count() == 60  # second action: must hit the cache too
+    rows_processed = sum(int(line) for line in open(marker))
+    assert rows_processed == len(all_urls), (
+        f"upstream executed {rows_processed / len(all_urls):.1f}x"
+    )
+    # the consuming plan reads the cached probe, not a live Python op
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan

@@ -112,7 +112,11 @@ def build_seen_shards(
 
     @F.pandas_udf(T.IntegerType())
     def shard_udf(u: pd.Series) -> pd.Series:
-        return u.map(lambda x: shard_of(x, n_shards)).astype("int32")
+        # plain list pass (not Series.map) — one Python call per value
+        # with no pandas apply machinery in between
+        return pd.Series(
+            [shard_of(x, n_shards) for x in u.tolist()], dtype="int32"
+        )
 
     with_shard = urls.select(
         F.col(url_col).alias("url"), shard_udf(F.col(url_col)).alias("shard_id")
@@ -165,6 +169,7 @@ def probe_seen(
     seen_exact: DataFrame | None,
     n_shards: int,
     unpersist_into: list[DataFrame] | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Filter out already-seen URLs.
 
@@ -177,6 +182,17 @@ def probe_seen(
     The probe output is persisted (both branches consume it); if the
     caller passes ``unpersist_into``, the cached DataFrame is appended
     there so the caller can release it once the round's actions ran.
+    ``eager=True`` fills the cache immediately (one count job): the
+    fresh/suspects branches land in the SAME stage of the consuming
+    job, and two concurrent scans of a cold cache can both compute a
+    partition — eager fill makes the Python probe exactly-once.
+
+    (A fully-JVM probe via Spark's BloomFilterAggregate/might_contain
+    was evaluated and is unavailable here: the expressions exist in
+    Catalyst for runtime row-group filtering but are not registered
+    SQL functions in this build, and Bloom blobs from different rounds
+    cannot be OR-merged through any public API. The mapInPandas probe
+    is one Arrow crossing over a broadcast of n_shards small blobs.)
     """
     if seen_shards is None:
         return candidates
@@ -207,6 +223,8 @@ def probe_seen(
     probed = candidates.mapInPandas(probe, out_schema).persist()
     if unpersist_into is not None:
         unpersist_into.append(probed)
+    if eager:
+        probed.count()
     fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspects = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     if seen_exact is not None:

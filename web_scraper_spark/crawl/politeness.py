@@ -64,7 +64,6 @@ def quota_trim(
     no single task sorts the whole hot host."""
     order = [F.asc("priority"), F.asc("seq")]
     salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
-    w1 = Window.partitionBy("host", salt.alias("_salt")).orderBy(*order)
     stage1 = (
         candidates.withColumn("_salt", salt)
         .withColumn("_rn1", F.row_number().over(Window.partitionBy("host", "_salt").orderBy(*order)))

@@ -143,7 +143,10 @@ def run_round(
         ignore_patterns=cfg.ignore_patterns,
     )
     round_caches: list[DataFrame] = []
-    fresh = probe_seen(candidates, shards, seen, cfg.n_shards, unpersist_into=round_caches)
+    fresh = probe_seen(
+        candidates, shards, seen, cfg.n_shards,
+        unpersist_into=round_caches, eager=True,
+    )
 
     # -- politeness scheduling -----------------------------------------
     delay_col = (
