@@ -238,3 +238,49 @@ def test_probe_seen_upstream_executes_once(spark, tmp_path):
     # the consuming plan reads the cached probe, not a live Python op
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_deferred_and_rediscovered_url_not_duplicated(spark, tmp_path):
+    """ADVICE r1: a URL that is quota-deferred in round N and also
+    rediscovered in round N's extracted links must enter the next
+    frontier ONCE (the deferred row, which carries the earlier
+    discovery's priority) and be fetched exactly once overall."""
+    import datetime
+
+    import pandas as pd
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+
+    s1, s2 = "https://a.x/s1", "https://a.x/s2"
+    ts = datetime.datetime(2024, 1, 1)
+    html1 = f'<html><body><main><p>one</p><a href="{s2}">two</a></main></body></html>'
+    html2 = "<html><body><main><p>two</p></main></body></html>"
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [s1, s2],
+                "warc_ts": [ts, ts],
+                "html": [html1.encode(), html2.encode()],
+                "text": ["one", "two"],
+                "lang": ["en", "en"],
+            }
+        ),
+        PAGES_SCHEMA,
+    )
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"), quota_per_host=1, max_depth=2, n_shards=2
+    )
+    stats = run_crawl(spark, cfg, pages, robots=None, seed_urls=[s1, s2], n_rounds=3)
+    # round 0 schedules only s1 (quota=1); s2 is deferred AND linked
+    # from s1 — it must come back exactly once in round 1
+    assert [m["scheduled"] for m in stats][:2] == [1, 1]
+    logs = spark.read.parquet(
+        *[f"{tmp_path}/ck/round={r}/fetch_log" for r in range(len(stats))]
+    )
+    per_url = {r["url"]: r["n"] for r in
+               logs.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    assert per_url == {s1: 1, s2: 1}, per_url
+    # the round-0 frontier written for round 1 holds s2 exactly once,
+    # with its ORIGINAL seed priority (1.0), not the rediscovery one
+    f1 = spark.read.parquet(f"{tmp_path}/ck/round=0/frontier").collect()
+    assert [(r["url"], r["priority"]) for r in f1] == [(s2, 1.0)]

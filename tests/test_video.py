@@ -212,3 +212,54 @@ def test_render_complete_expr_container_variant(spark):
         assert docs[video_id_of(i)] == _py_expected_doc(
             i, "complete", standalone=False
         ), f"video {i}"
+
+
+@pytest.mark.parametrize("style", ["complete", "raw"])
+def test_container_expr_matches_python_renderer(spark, style):
+    """The Column-expression container assembly must byte-match the
+    Python render_container oracle for every container (playlists and
+    channels, capped member lists, both styles)."""
+    from web_scraper_spark.operators.video import render_container
+
+    vids = videos_df(spark, N)
+    docs = video_documents(
+        vids, transcripts_df(spark, N), chapters_df(spark, N),
+        comments_df(spark, N), style=style,
+        standalone=(style != "complete"),
+    )
+    out = {
+        r["container_id"]: r["doc"]
+        for r in container_documents(
+            containers_df(spark, N), vids, docs, style=style, max_videos=3
+        ).collect()
+    }
+    # driver-side oracle: rebuild each container's capped member list
+    members = sorted(
+        containers_df(spark, N).collect(),
+        key=lambda r: (r["container_id"], r["position"], r["video_id"]),
+    )
+    vid_meta = {r["video_id"]: r for r in vids.collect()}
+    doc_map = {r["video_id"]: r["doc"] for r in docs.collect()}
+    by_container = {}
+    for m in members:
+        by_container.setdefault((m["container_id"], m["kind"]), []).append(m)
+    assert out, "no containers rendered"
+    for (cid, kind), ms in by_container.items():
+        capped = ms[:3]
+        vlist = [
+            {
+                "title": vid_meta[m["video_id"]]["title"],
+                "url": vid_meta[m["video_id"]]["url"],
+                "channel": vid_meta[m["video_id"]]["channel"],
+                "doc": doc_map[m["video_id"]],
+            }
+            for m in capped
+        ]
+        expected = render_container(
+            kind,
+            f"https://www.youtube.com/{kind}/{cid}",
+            vlist,
+            style,
+            vlist[0]["channel"] if vlist else "Unknown Channel",
+        )
+        assert out[cid] == expected, f"{cid} ({style})"

@@ -33,6 +33,23 @@ N_PAGES = int(os.environ.get("BENCH_PAGES", 40_000))
 QUOTA = int(os.environ.get("BENCH_QUOTA_PER_HOST", 4096))
 CORES_LO = int(os.environ.get("BENCH_CORES_LO", 2))
 CORES_HI = int(os.environ.get("BENCH_CORES_HI", 8))
+# this VM's effective CPU speed drifts 50-70% across minutes (steal/
+# turbo): back-to-back sessions measured the same pure-JVM control at
+# 416 vs 1162 Mrows/s. Protocol: INTERLEAVE lo/hi sessions TRIALS
+# times (drift hits both core counts), take min-wall per metric, and
+# report efficiency normalized by the interleaved pure-JVM control.
+TRIALS = int(os.environ.get("BENCH_TRIALS", 3))
+
+
+def timed_best(action, trials: int = 1) -> float:
+    """Min wall over ``trials`` runs of ``action`` — the standard
+    noisy-box protocol: the fastest run is the least-interfered one."""
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        action()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def build_frontier(spark, n):
@@ -81,10 +98,12 @@ def bench_at(cores: int) -> dict:
     # virtualized box, so the engine's efficiency can be read against
     # what the hardware actually delivers.
     spark.range(0, 10_000_000, 1, cores).select(F.sum("id")).collect()
-    t0 = time.time()
     n_ctl = 2_000_000_000
-    spark.range(0, n_ctl, 1, 4 * cores).select(F.sum(F.col("id") * 2 + 1)).collect()
-    ctl_s = time.time() - t0
+    ctl_s = timed_best(
+        lambda: spark.range(0, n_ctl, 1, 4 * cores)
+        .select(F.sum(F.col("id") * 2 + 1))
+        .collect()
+    )
 
     # --- job 1: frontier scheduling path ------------------------------
     # quota_per_host bounds the per-host politeness group (a crawl
@@ -95,12 +114,14 @@ def bench_at(cores: int) -> dict:
     schedule_round(  # warm-up: python workers + codegen
         build_frontier(spark, 10_000), None, quota_per_host=QUOTA, default_delay_ms=10
     )[0].count()
-    t0 = time.time()
+
+    def run_schedule():
+        schedule_round(frontier, None, quota_per_host=QUOTA, default_delay_ms=10)[0].count()
+
+    sched_s = timed_best(run_schedule)
     schedule, _state = schedule_round(
         frontier, None, quota_per_host=QUOTA, default_delay_ms=10
     )
-    n_sched = schedule.count()
-    sched_s = time.time() - t0
 
     # partition-skew probe on the politeness exchange
     sizes = (
@@ -121,17 +142,17 @@ def bench_at(cores: int) -> dict:
     pages = pages_df(spark, N_PAGES, partitions=4 * cores).persist()
     pages.count()
     extract_pages(pages.limit(256)).select(F.sum("token_count")).collect()  # warm
-    t0 = time.time()
-    ex = extract_pages(pages)
-    ex.select(F.sum("token_count")).collect()
-    extract_s = time.time() - t0
+    extract_s = timed_best(
+        lambda: extract_pages(pages).select(F.sum("token_count")).collect()
+    )
 
     # pruned variant: only token_count crosses the Arrow boundary —
     # the caller-side column-pruning lever for counts-style consumers
-    t0 = time.time()
-    exp = extract_pages(pages, products=("token_count",))
-    exp.select(F.sum("token_count")).collect()
-    extract_pruned_s = time.time() - t0
+    extract_pruned_s = timed_best(
+        lambda: extract_pages(pages, products=("token_count",))
+        .select(F.sum("token_count"))
+        .collect()
+    )
     pages.unpersist()
 
     spark.stop()
@@ -148,9 +169,45 @@ def bench_at(cores: int) -> dict:
     }
 
 
+THROUGHPUT_KEYS = (
+    "control_mrows_per_sec",
+    "sched_urls_per_sec",
+    "extract_pages_per_sec",
+    "extract_pruned_pages_per_sec",
+)
+WALL_OF = {
+    "sched_urls_per_sec": "sched_wall_s",
+    "extract_pages_per_sec": "extract_wall_s",
+    "extract_pruned_pages_per_sec": "extract_pruned_wall_s",
+}
+
+
+def best_of(runs: list[dict]) -> dict:
+    """Per-metric best (max throughput) across interleaved trials."""
+    out = dict(runs[-1])  # cores/skew from the last trial
+    for key in THROUGHPUT_KEYS:
+        best = max(runs, key=lambda r: r[key])
+        out[key] = best[key]
+        if key in WALL_OF:
+            out[WALL_OF[key]] = best[WALL_OF[key]]
+    return out
+
+
 def main() -> None:
-    lo = bench_at(CORES_LO)
-    hi = bench_at(CORES_HI)
+    lo_runs: list[dict] = []
+    hi_runs: list[dict] = []
+    for t in range(TRIALS):
+        lo_runs.append(bench_at(CORES_LO))
+        hi_runs.append(bench_at(CORES_HI))
+        print(
+            f"# trial {t}: lo ctl={lo_runs[-1]['control_mrows_per_sec']} "
+            f"sched={lo_runs[-1]['sched_urls_per_sec']} | "
+            f"hi ctl={hi_runs[-1]['control_mrows_per_sec']} "
+            f"sched={hi_runs[-1]['sched_urls_per_sec']}",
+            file=sys.stderr,
+        )
+    lo = best_of(lo_runs)
+    hi = best_of(hi_runs)
     ratio = CORES_HI / CORES_LO
     eff_sched = hi["sched_urls_per_sec"] / (ratio * lo["sched_urls_per_sec"])
     eff_extract = hi["extract_pages_per_sec"] / (ratio * lo["extract_pages_per_sec"])
@@ -159,6 +216,7 @@ def main() -> None:
     out = {
         "n_frontier": N_FRONTIER,
         "n_pages": N_PAGES,
+        "trials_min_wall": TRIALS,
         "lo": lo,
         "hi": hi,
         "scaling_efficiency_schedule": round(eff_sched, 3),
@@ -173,7 +231,13 @@ def main() -> None:
 Two-parallelism proxy for the N→4N-executors criterion
 (BASELINE.json): identical jobs + identical input at local[{CORES_LO}]
 and local[{CORES_HI}] (N={CORES_LO}, 4N={CORES_HI}), single machine,
-{os.cpu_count()} advertised vCPUs.
+{os.cpu_count()} advertised vCPUs. Protocol: {TRIALS} INTERLEAVED
+lo/hi session pairs (this VM's effective CPU speed drifts 50-70%
+across minutes — the same pure-JVM control measured 416 vs 1162
+Mrows/s in back-to-back sessions, so un-interleaved single shots are
+meaningless); each metric takes its best (min-wall) trial, and the
+summary additionally reports efficiency normalized by the
+identically-interleaved pure-JVM control.
 
 **Platform note.** This sandbox is a virtualized box whose JVM
 thread-scaling collapses above ~8 threads (a pure-JVM codegen control

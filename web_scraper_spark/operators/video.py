@@ -370,24 +370,84 @@ def container_documents(
         F.array_sort(F.collect_list("m")).alias("members")
     )
 
-    def render(batches):
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                vids = [
-                    {"title": m["title"], "url": m["url"], "doc": m["doc"], "channel": m["channel"]}
-                    for m in r["members"]
-                ]
-                channel_name = vids[0]["channel"] if vids else "Unknown Channel"
-                url = f"https://www.youtube.com/{r['kind']}/{r['container_id']}"
-                doc = render_container(r["kind"], url, vids, style, channel_name)
-                rows.append({"video_id": r["container_id"], "doc": doc})
-            yield pd.DataFrame(rows, columns=["video_id", "doc"])
-
-    return (
-        packed.mapInPandas(render, _DOC_SCHEMA)
-        .withColumnRenamed("video_id", "container_id")
+    # container assembly is a pure Column expression too (zero Python
+    # per row); render_container stays as the per-row parity oracle.
+    return packed.select(
+        F.col("container_id"),
+        render_container_expr(style).alias("doc"),
     )
+
+
+def render_container_expr(style: str) -> "F.Column":
+    """D6 playlist/channel assembly as a pure Column expression —
+    semantically identical to :func:`render_container` for non-empty
+    member lists (empty containers never reach this operator: the
+    member join drops them; the Python oracle keeps the empty branch
+    for the reference's single-video CLI path).
+
+    Expects columns: container_id, kind, members
+    (array<struct<position, video_id, title, channel, url, doc>>
+    sorted by position)."""
+    members = F.col("members")
+    n = F.size(members)
+    url = F.concat(
+        F.lit("https://www.youtube.com/"), F.col("kind"), F.lit("/"),
+        F.col("container_id"),
+    )
+    channel_name = F.element_at(members, 1)["channel"]
+    label = F.when(F.col("kind") == "playlist", F.lit("Playlist")).otherwise(
+        F.concat(F.lit("Channel: "), channel_name)
+    )
+    head_txt = F.concat(F.lit("YouTube "), label)
+    if style == "raw":
+        head = F.array(
+            head_txt,
+            F.concat(F.lit("URL: "), url),
+            F.concat(F.lit("Videos: "), n.cast("string")),
+            F.lit(""),
+        )
+        index_block = F.array().cast("array<string>")
+    else:
+        head = F.array(
+            F.concat(F.lit("# "), head_txt),
+            F.concat(F.lit("URL: ["), url, F.lit("]("), url, F.lit(")")),
+            F.concat(F.lit("Videos: "), n.cast("string")),
+            F.lit(""),
+        )
+        index_header = F.when(
+            F.col("kind") == "playlist", F.lit("## Videos in this Playlist")
+        ).otherwise(F.lit("## Recent Videos"))
+        # binary lambda = (element, index) — the arity is semantic
+        index_lines = F.transform(
+            members,
+            lambda m, i: F.concat(
+                (i + 1).cast("string"),
+                F.lit(". ["),
+                F.coalesce(m["title"], F.lit("Unknown")),
+                F.lit("]("),
+                F.coalesce(m["url"], F.lit("#")),
+                F.lit(")"),
+            ),
+        )
+        index_block = F.concat(
+            F.array(index_header), index_lines, F.array(F.lit(""))
+        )
+    sep = "-" * 40 if style == "raw" else "---"
+    doc_lines = F.flatten(
+        F.transform(
+            members,
+            lambda m, i: F.concat(
+                F.array(F.concat(F.lit("Video "), (i + 1).cast("string"), F.lit(":")))
+                if style == "raw"
+                else F.array().cast("array<string>"),
+                F.array(m["doc"]),
+                F.when(i < n - 1, F.array(F.lit(sep), F.lit(""))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            ),
+        )
+    )
+    return F.concat_ws("\n", F.concat(head, index_block, doc_lines))
 
 
 def render_complete_expr(standalone: bool = True) -> "F.Column":

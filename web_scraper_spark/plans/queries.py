@@ -838,11 +838,107 @@ def q54_media_features(spark, sf_dir):
 # Video star-schema pipeline (E3/D6 — rows-only: star tables are
 # engine-synthesized, not driver-registered).
 # =====================================================================
-@query("q55_video_docs")
+def _yt_docs_cte(n: int, standalone: bool) -> str:
+    """CTE chain reproducing the synthetic video star schema AND the
+    'complete'-style rendered document per video in ANSI SQL — the
+    fixtures are md5 arithmetic (sources/youtube.py::word_at), so
+    DuckDB recomputes every title/description/transcript/comment word
+    bit-for-bit, and the document assembly mirrors
+    render_video_complete line by line. Ends with a ``docs(i,
+    video_id, doc)`` CTE (no leading WITH)."""
+    from ..sources.youtube import _WORDS
+
+    h = "#" if standalone else "##"
+    cap = 10 if standalone else 5
+    words_list = "['" + "', '".join(_WORDS) + "']"
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    word = f"list_extract({words_list}, (({hex8}) % {len(_WORDS)}) + 1)"
+    return f"""
+  vids AS (
+    SELECT g AS i,
+           'vid' || lpad(CAST(g AS VARCHAR), 8, '0') AS video_id,
+           'channel-' || CAST(g % 5 AS VARCHAR) AS channel,
+           'https://www.youtube.com/watch?v=vid' || lpad(CAST(g AS VARCHAR), 8, '0') AS url
+    FROM range({n}) t(g)),
+  t_toks AS (
+    SELECT i, j, md5('42:' || CAST(i AS VARCHAR) || ':t:' || CAST(j AS VARCHAR)) AS h
+    FROM vids, generate_series(0, 3) s(j)),
+  titles AS (
+    SELECT i, string_agg(upper(substr(w, 1, 1)) || substr(w, 2), ' ' ORDER BY j) AS title
+    FROM (SELECT i, j, {word} AS w FROM t_toks) GROUP BY i),
+  d_toks AS (
+    SELECT i, j, md5('42:' || CAST(i AS VARCHAR) || ':d:' || CAST(j AS VARCHAR)) AS h
+    FROM vids, generate_series(0, 11) s(j) WHERE i % 7 <> 0),
+  descs AS (
+    SELECT i, string_agg(w, ' ' ORDER BY j) AS description
+    FROM (SELECT i, j, {word} AS w FROM d_toks) GROUP BY i),
+  tr_toks AS (
+    SELECT i, p, j,
+           md5('42:' || CAST(i AS VARCHAR) || ':tr' || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+    FROM vids, generate_series(0, 15) sp(p), generate_series(0, 5) sj(j)
+    WHERE p < 6 + i % 10),
+  tr_lines AS (
+    SELECT i, p, string_agg(w, ' ' ORDER BY j) AS text
+    FROM (SELECT i, p, j, {word} AS w FROM tr_toks) GROUP BY i, p),
+  trs AS (
+    SELECT i, string_agg(
+      CASE WHEN p % 8 = 5 THEN text
+           ELSE printf('[%.1fs] %s', (42 * p + 10 * (i % 3)) / 10.0, text) END,
+      e'\\n' ORDER BY p) AS transcript
+    FROM tr_lines GROUP BY i),
+  c_toks AS (
+    SELECT i, c, j,
+           md5('42:' || CAST(i AS VARCHAR) || ':c' || CAST(c AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+    FROM vids, generate_series(0, 39) sc(c), generate_series(0, 4) sj(j)
+    WHERE c % 3 <> 0),
+  c_text AS (
+    SELECT i, c, string_agg(w, ' ' ORDER BY j) AS text
+    FROM (SELECT i, c, j, {word} AS w FROM c_toks) GROUP BY i, c),
+  c_ranked AS (
+    SELECT i, c, text,
+           row_number() OVER (PARTITION BY i ORDER BY
+             coalesce(CASE WHEN c % 9 = 4 THEN NULL ELSE (c * 13) % 101 END, 0) DESC,
+             i * 1000 + c ASC) AS rn
+    FROM c_text),
+  cms AS (
+    SELECT i, string_agg('**user' || CAST(c % 17 AS VARCHAR) || '**: ' || text,
+                         e'\\n\\n' ORDER BY rn) AS comments
+    FROM c_ranked WHERE rn <= {cap} GROUP BY i),
+  docs AS (
+    SELECT v.i, v.video_id,
+      '{h} ' || t.title || e'\\n'
+      || 'Channel: **' || v.channel || '**' || e'\\n'
+      || 'URL: [' || v.url || '](' || v.url || ')' || e'\\n\\n'
+      || CASE WHEN d.description IS NOT NULL
+              THEN '{h}# Description' || e'\\n' || d.description || e'\\n\\n'
+              ELSE '' END
+      || '{h}# Transcript' || e'\\n' || '```' || e'\\n' || tr.transcript
+      || e'\\n' || '```' || e'\\n\\n'
+      || '{h}# Top Comments' || e'\\n' || cm.comments || e'\\n' AS doc
+    FROM vids v
+    JOIN titles t ON t.i = v.i
+    LEFT JOIN descs d ON d.i = v.i
+    JOIN trs tr ON tr.i = v.i
+    JOIN cms cm ON cm.i = v.i)"""
+
+
+@query(
+    "q55_video_docs",
+    oracle=f"""
+    WITH {_yt_docs_cte(24, standalone=True)}
+    SELECT video_id, CAST(length(doc) AS INT) AS doc_len, md5(doc) AS doc_md5
+    FROM docs
+    """,
+)
 def q55_video_docs(spark, sf_dir):
     """videos⨝transcripts⨝chapters⨝comments → one document per video
     (complete style): the reference's single-video pipeline as one
-    DataFrame query."""
+    DataFrame query, rendered entirely by Column expressions. The
+    oracle regenerates the md5-arithmetic star fixtures AND the full
+    document assembly in SQL (bit-for-bit, incl. %.1f timestamps)."""
     from ..operators.video import video_documents
     from ..sources import youtube as Y
 
@@ -854,9 +950,53 @@ def q55_video_docs(spark, sf_dir):
     return docs.select("video_id", F.length("doc").alias("doc_len"), F.md5("doc").alias("doc_md5"))
 
 
-@query("q56_container_docs")
+@query(
+    "q56_container_docs",
+    oracle=f"""
+    WITH {_yt_docs_cte(24, standalone=False)},
+    members AS (
+      SELECT 'p' || CAST(i % 3 AS VARCHAR) AS container_id, 'playlist' AS kind,
+             i // 3 AS position, i FROM vids
+      UNION ALL
+      SELECT 'ch' || CAST(i % 5 AS VARCHAR), 'channel', i // 5, i FROM vids),
+    m2 AS (
+      SELECT m.container_id, m.kind, v.video_id, t.title, v.url, v.channel, d.doc,
+             row_number() OVER (PARTITION BY m.container_id
+                                ORDER BY m.position, v.video_id) AS rn
+      FROM members m
+      JOIN vids v ON v.i = m.i
+      JOIN titles t ON t.i = m.i
+      JOIN docs d ON d.i = m.i),
+    cap5 AS (SELECT * FROM m2 WHERE rn <= 5),
+    folded AS (
+      SELECT container_id, kind,
+             count(*) AS nv,
+             min(CASE WHEN rn = 1 THEN channel END) AS first_channel,
+             string_agg(CAST(rn AS VARCHAR) || '. [' || title || '](' || url || ')',
+                        e'\\n' ORDER BY rn) AS idx_lines,
+             string_agg(doc, e'\\n---\\n\\n' ORDER BY rn) AS docs_fold
+      FROM cap5 GROUP BY container_id, kind),
+    cdocs AS (
+      SELECT container_id,
+        '# YouTube ' || (CASE WHEN kind = 'playlist' THEN 'Playlist'
+                              ELSE 'Channel: ' || first_channel END) || e'\\n'
+        || 'URL: [https://www.youtube.com/' || kind || '/' || container_id
+        || '](https://www.youtube.com/' || kind || '/' || container_id || ')' || e'\\n'
+        || 'Videos: ' || CAST(nv AS VARCHAR) || e'\\n\\n'
+        || (CASE WHEN kind = 'playlist' THEN '## Videos in this Playlist'
+                 ELSE '## Recent Videos' END) || e'\\n'
+        || idx_lines || e'\\n\\n'
+        || docs_fold AS doc
+      FROM folded)
+    SELECT container_id, CAST(length(doc) AS INT) AS doc_len, md5(doc) AS doc_md5
+    FROM cdocs
+    """,
+)
 def q56_container_docs(spark, sf_dir):
-    """S7/L2/A8: capped per-container fold of member video documents."""
+    """S7/L2/A8: capped per-container fold of member video documents —
+    the whole playlist/channel assembly (index list, separators,
+    member docs) is a Column expression on the Spark side and is
+    reproduced byte-for-byte by the SQL oracle."""
     from ..operators.video import container_documents, video_documents
     from ..sources import youtube as Y
 

@@ -8,11 +8,19 @@ Fixture coverage: videos with zero chapters, transcript lines before
 the first chapter start (quirk Q12), non-timestamped lines, >30
 comments per video with null like_counts and reply comments,
 containers exceeding the max_videos cap.
+
+All randomness is md5 arithmetic (no Mersenne Twister): every field
+is a pure function of (seed, video index, tag) that ANSI SQL can
+recompute, so the q55/q56 oracles reproduce the entire star schema —
+and therefore the full rendered documents — inside DuckDB.
+Timestamps are exact decimals built from integer arithmetic
+(``(42*p + 10*k) / 10``) so float formatting is bit-identical across
+engines.
 """
 
 from __future__ import annotations
 
-import random
+import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -68,25 +76,37 @@ def video_id_of(i: int) -> str:
     return f"vid{i:08d}xyz"[:11]
 
 
+def word_at(seed: int, i: int, tag: str, j: int) -> str:
+    """SQL-reproducible word pick: index = first 8 md5 hex chars of
+    ``'{seed}:{i}:{tag}:{j}'`` mod len(_WORDS) (the q55/q56 oracles
+    recompute the identical index with DuckDB's md5)."""
+    h = hashlib.md5(f"{seed}:{i}:{tag}:{j}".encode()).hexdigest()
+    return _WORDS[int(h[:8], 16) % len(_WORDS)]
+
+
+def _words(seed: int, i: int, tag: str, n: int) -> str:
+    return " ".join(word_at(seed, i, tag, j) for j in range(n))
+
+
 def gen_video_rows(i: int, seed: int = 42) -> dict:
-    rng = random.Random(seed * 7919 + i)
     vid = video_id_of(i)
-    title = " ".join(rng.choice(_WORDS) for _ in range(4)).title()
+    title = _words(seed, i, "t", 4).title()
     return {
         "video": {
             "video_id": vid,
             "title": title,
             "channel": f"channel-{i % 5}",
-            "description": " ".join(rng.choice(_WORDS) for _ in range(12)) if i % 7 else "",
+            "description": _words(seed, i, "d", 12) if i % 7 else "",
             "url": f"https://www.youtube.com/watch?v={vid}",
         },
         "transcript": [
             {
                 "video_id": vid,
                 "pos": p,
-                # ~1 in 8 lines carries no timestamp (Q12 non-advance path)
-                "start": None if (p % 8 == 5) else round(p * 4.2 + (i % 3), 1),
-                "text": " ".join(rng.choice(_WORDS) for _ in range(6)),
+                # ~1 in 8 lines carries no timestamp (Q12 non-advance
+                # path); exact-decimal seconds via integer arithmetic
+                "start": None if (p % 8 == 5) else (42 * p + 10 * (i % 3)) / 10.0,
+                "text": _words(seed, i, f"tr{p}", 6),
             }
             for p in range(6 + i % 10)
         ],
@@ -100,7 +120,7 @@ def gen_video_rows(i: int, seed: int = 42) -> dict:
                     # first chapter starts at 5.0 — transcript lines at
                     # t<5 exercise quirk Q12 (header emitted anyway)
                     "start_time": 5.0 + 12.0 * k,
-                    "title": f"Chapter {k} " + rng.choice(_WORDS),
+                    "title": f"Chapter {k} " + word_at(seed, i, f"ch{k}", 0),
                 }
                 for k in range(1 + i % 4)
             ]
@@ -110,7 +130,7 @@ def gen_video_rows(i: int, seed: int = 42) -> dict:
                 "video_id": vid,
                 "comment_id": i * 1000 + c,
                 "author": f"user{c % 17}",
-                "text": " ".join(rng.choice(_WORDS) for _ in range(5)),
+                "text": _words(seed, i, f"c{c}", 5),
                 "like_count": None if c % 9 == 4 else (c * 13) % 101,
                 "parent": "root" if c % 3 else f"c{c - 1}",
             }
