@@ -200,3 +200,59 @@ def test_filename_from_url_reference_semantics(spark):
     got = {r[0]: r[1] for r in df.select("url", C.filename_from_url(F.col("url"))).collect()}
     for u, want in cases:
         assert got[u] == want, u
+
+
+def test_canonical_url_semantics_and_idempotence(spark):
+    cases = {
+        # case + default port + fragment
+        "HTTP://A.Example.COM:80/Docs/X#frag": "http://a.example.com/Docs/X",
+        # https default port, utm-only query dropped entirely
+        "HTTPS://h.x:443/p?utm_source=a": "https://h.x/p",
+        # query params sorted, utm removed, trailing slash stripped
+        "http://h.x/a/b/?b=2&utm_x=1&a=1": "http://h.x/a/b?a=1&b=2",
+        # root path preserved; empty path becomes /
+        "http://h.x/": "http://h.x/",
+        "http://h.x": "http://h.x/",
+        # non-default port kept
+        "http://h.x:8080/p": "http://h.x:8080/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select("url", C.canonical_url(F.col("url")).alias("canon")).collect()
+    }
+    assert got == cases
+    # idempotence: canonicalizing a canonical URL is the identity
+    df2 = spark.createDataFrame([(v,) for v in cases.values()], "url string")
+    got2 = {
+        r["url"]: r["canon"]
+        for r in df2.select("url", C.canonical_url(F.col("url")).alias("canon")).collect()
+    }
+    assert all(k == v for k, v in got2.items()), got2
+
+
+def test_repetition_signals(spark):
+    from web_scraper_spark.operators.text import (
+        duplicate_token_fraction,
+        top_ngram_share,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 1 distinct / 4 tokens
+            (2, "all words here are distinct"),  # no repeats
+            (3, "one"),                           # single token: no bigrams
+        ],
+        "id int, text string",
+    )
+    dup = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", duplicate_token_fraction(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert dup[1] == 0.75 and dup[2] == 0.0 and dup[3] == 0.0
+    shares = {r["id"]: r["share"] for r in top_ngram_share(df, "text", "id", 2).collect()}
+    assert shares[1] == 1.0        # 'spam spam' is every bigram
+    assert shares[2] == 0.25       # 4 distinct bigrams
+    assert 3 not in shares         # <2 tokens -> no row (caller coalesces)

@@ -181,6 +181,37 @@ def markdown_frontmatter(
     )
 
 
+def canonical_url(url: Column) -> Column:
+    """Frontier URL canonicalization — the pre-seen-probe dedup key a
+    10^10-URL crawl needs so trivially-distinct spellings of one page
+    don't multiply the frontier: lowercase scheme+authority, strip the
+    default port (:80 http / :443 https), drop the fragment, drop
+    ``utm_*`` tracking params, sort the remaining query params, and
+    strip a trailing slash from non-root paths. Pure Column
+    expression (parse_url + array ops); the q60 oracle mirrors it
+    with regex decomposition (DuckDB has no parse_url)."""
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    auth = (
+        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(
+        F.when(path != "/", F.regexp_replace(path, "/$", "")).otherwise(path)
+    )
+    query = F.parse_url(url, F.lit("QUERY"))
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: ~p.startswith("utm_"))
+    )
+    qpart = F.when(
+        query.isNotNull() & (F.size(params) > 0),
+        F.concat(F.lit("?"), F.concat_ws("&", params)),
+    ).otherwise(F.lit(""))
+    return F.concat(proto, F.lit("://"), auth, path, qpart)
+
+
 def markdown_images_section(imgs: Column) -> Column:
     """D3 tail as a pure Column expression: the '## Images' block
     (contxt/formatters/markdown_formatter.py:64-83) over an

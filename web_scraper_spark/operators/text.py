@@ -109,6 +109,44 @@ def quality_score(text: Column) -> Column:
     return F.round(length_ok + stop_ok + punct_ok + upper_ok, 4)
 
 
+def duplicate_token_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: 1 − distinct/total over the
+    normalized token stream (boilerplate and looped generations score
+    high). Pure Column expression — shuffle-free."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return F.round((n - nd).cast("double") / n, 4)
+
+
+def top_ngram_share(df, text_col: str, id_col: str, n: int = 2):
+    """Gopher repetition rule: the occupancy share of the most
+    frequent n-gram per document (max count / total count over raw,
+    NON-distinct n-grams).
+
+    Scalable form: explode → one groupBy on (id, gram) with map-side
+    partial counts → per-id ratio. Documents with fewer than ``n``
+    tokens produce no row (callers left-join and coalesce to 0.0).
+    Returns (id, share)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), size - n)
+
+    def gram(i):
+        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+
+    grams = F.when(size >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    cnt = ex.groupBy("id", "g").agg(F.count("*").alias("c"))
+    return cnt.groupBy("id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("share")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over the normalized text — the
     content-identity key used by exact dedup and the URL-seen family

@@ -745,6 +745,116 @@ def q50_extract_pages(spark, sf_dir):
 # pair join.
 
 
+# =====================================================================
+# Gopher-style repetition signals (training-data quality filtering).
+# =====================================================================
+@query(
+    "q59_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents),
+    dup AS (
+      SELECT doc_id,
+             round(CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS dup_word_frac
+      FROM toks),
+    bg AS (
+      SELECT doc_id, unnest(list_filter(
+        list_transform(list_zip(t, t[2:]),
+          s -> CASE WHEN s[2] IS NULL THEN NULL ELSE s[1] || ' ' || s[2] END),
+        x -> x IS NOT NULL)) AS g
+      FROM toks),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    share AS (
+      SELECT doc_id,
+             round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_share
+      FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id, d.dup_word_frac,
+           coalesce(s.top_bigram_share, 0.0) AS top_bigram_share
+    FROM dup d LEFT JOIN share s ON s.doc_id = d.doc_id
+    """,
+)
+def q59_repetition(spark, sf_dir):
+    """Gopher repetition rules as first-class ops: duplicate-token
+    fraction (pure expression) + top-bigram occupancy share (explode +
+    one (id, gram) groupBy — the scalable form)."""
+    d = _load(spark, sf_dir, "documents")
+    dup = d.select(
+        "doc_id", TX.duplicate_token_fraction(F.col("text")).alias("dup_word_frac")
+    )
+    shares = TX.top_ngram_share(d, "text", "doc_id", 2).withColumnRenamed("id", "doc_id")
+    return dup.join(shares, "doc_id", "left").select(
+        "doc_id",
+        "dup_word_frac",
+        F.coalesce(F.col("share"), F.lit(0.0)).alias("top_bigram_share"),
+    )
+
+
+# =====================================================================
+# Frontier URL canonicalization (crawl-dedup key).
+# =====================================================================
+@query(
+    "q60_canonical_url",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END)
+        || upper(source) || '.Example.COM'
+        || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        || '/Docs/' || lang || '/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed'
+                            WHEN 1 THEN '?b=2&a=1'
+                            WHEN 2 THEN '?b=2&utm_x=1&a=1'
+                            ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS proto,
+        lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM raw),
+    norm AS (
+      SELECT doc_id, proto,
+        CASE WHEN proto = 'http' THEN regexp_replace(auth, ':80$', '')
+             WHEN proto = 'https' THEN regexp_replace(auth, ':443$', '')
+             ELSE auth END AS auth,
+        CASE WHEN path = '' THEN '/'
+             WHEN path <> '/' THEN regexp_replace(path, '/$', '')
+             ELSE path END AS path,
+        list_sort(list_filter(string_split(q, '&'),
+                  x -> x NOT LIKE 'utm_%' AND x <> '')) AS params
+      FROM parts)
+    SELECT doc_id,
+      proto || '://' || auth || path
+      || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+               ELSE '' END) AS canon
+    FROM norm
+    """,
+)
+def q60_canonical_url(spark, sf_dir):
+    """F-family: frontier URL canonicalization over deterministically
+    messy URLs (case-shuffled scheme/host, default ports, utm params,
+    unsorted query, fragments, trailing slashes)."""
+    d = _load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://")),
+        F.upper(F.col("source")), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Docs/"), F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&utm_x=1&a=1"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", C.canonical_url(url).alias("canon"))
+
+
 _LSH_ORACLE = "\n    WITH docs AS (\n      SELECT doc_id,\n             list_distinct(string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ')) AS toks\n      FROM documents WHERE doc_id < 300),\n    sigs AS (\n      SELECT doc_id,\n      list_min(list_transform(toks, s -> md5(s || '#0'))) AS s0,\n      list_min(list_transform(toks, s -> md5(s || '#1'))) AS s1,\n      list_min(list_transform(toks, s -> md5(s || '#2'))) AS s2,\n      list_min(list_transform(toks, s -> md5(s || '#3'))) AS s3,\n      list_min(list_transform(toks, s -> md5(s || '#4'))) AS s4,\n      list_min(list_transform(toks, s -> md5(s || '#5'))) AS s5,\n      list_min(list_transform(toks, s -> md5(s || '#6'))) AS s6,\n      list_min(list_transform(toks, s -> md5(s || '#7'))) AS s7,\n      list_min(list_transform(toks, s -> md5(s || '#8'))) AS s8,\n      list_min(list_transform(toks, s -> md5(s || '#9'))) AS s9,\n      list_min(list_transform(toks, s -> md5(s || '#10'))) AS s10,\n      list_min(list_transform(toks, s -> md5(s || '#11'))) AS s11,\n      list_min(list_transform(toks, s -> md5(s || '#12'))) AS s12,\n      list_min(list_transform(toks, s -> md5(s || '#13'))) AS s13,\n      list_min(list_transform(toks, s -> md5(s || '#14'))) AS s14,\n      list_min(list_transform(toks, s -> md5(s || '#15'))) AS s15\n      FROM docs),\n    bands AS (\n      SELECT doc_id, unnest([{'band': 0, 'bucket': md5(s0 || '|' || s1)}, {'band': 1, 'bucket': md5(s2 || '|' || s3)}, {'band': 2, 'bucket': md5(s4 || '|' || s5)}, {'band': 3, 'bucket': md5(s6 || '|' || s7)}, {'band': 4, 'bucket': md5(s8 || '|' || s9)}, {'band': 5, 'bucket': md5(s10 || '|' || s11)}, {'band': 6, 'bucket': md5(s12 || '|' || s13)}, {'band': 7, 'bucket': md5(s14 || '|' || s15)}], recursive := true)\n      FROM sigs),\n    cand AS (\n      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket\n      WHERE a.doc_id < b.doc_id),\n    inv AS (SELECT doc_id, len(toks) AS n, toks FROM docs),\n    scored AS (\n      SELECT c.id_a, c.id_b,\n             len(list_intersect(x.toks, y.toks)) AS common,\n             x.n AS na, y.n AS nb\n      FROM cand c JOIN inv x ON x.doc_id = c.id_a JOIN inv y ON y.doc_id = c.id_b)\n    SELECT id_a, id_b,\n           round(CAST(common AS DOUBLE)/(na+nb-common), 6) AS jaccard\n    FROM scored WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.5\n    "
 
 
