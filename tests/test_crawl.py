@@ -143,3 +143,34 @@ def test_crawl_metrics_written(spark, crawl_result):
     assert stats[0]["scheduled"] > 0
     # round 1 discovered new URLs from links
     assert len(stats) == 2 and stats[1]["scheduled"] > 0
+
+
+def test_seen_compaction_size_trigger(tmp_path):
+    """LSM-style trigger: compaction fires when appended seen bytes
+    since the last compaction reach ratio x compacted base (file
+    metadata only — deterministic on crash replay because it reads
+    immutable committed rounds)."""
+    from web_scraper_spark.crawl.rounds import CrawlConfig, seen_delta_exceeds_ratio
+
+    cfg = CrawlConfig(ckpt_dir=str(tmp_path), seen_compact_ratio=0.5)
+
+    def mk_round(rid, n_bytes, compacted=False):
+        d = tmp_path / f"round={rid}" / "seen"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x" * n_bytes)
+        if compacted:
+            (tmp_path / f"round={rid}" / "_SEEN_COMPACT").write_text("")
+
+    mk_round(0, 100, compacted=True)   # base = 100
+    mk_round(1, 10)                    # delta 10 < 50
+    assert not seen_delta_exceeds_ratio(cfg, 1)
+    mk_round(2, 45)                    # delta 55 >= 50
+    assert seen_delta_exceeds_ratio(cfg, 2)
+    # ratio None => never
+    assert not seen_delta_exceeds_ratio(
+        CrawlConfig(ckpt_dir=str(tmp_path), seen_compact_ratio=None), 2
+    )
+    # no compaction base yet => round-count rule only
+    cfg2 = CrawlConfig(ckpt_dir=str(tmp_path / "fresh"), seen_compact_ratio=0.5)
+    (tmp_path / "fresh" / "round=0" / "seen").mkdir(parents=True)
+    assert not seen_delta_exceeds_ratio(cfg2, 0)

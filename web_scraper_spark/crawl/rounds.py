@@ -68,6 +68,13 @@ class CrawlConfig:
     # compactions each round appends only its own scheduled URLs —
     # O(round) not O(total) write cost; the Iceberg-append analog)
     seen_compact_every: int = 8
+    # LSM-style size trigger: ALSO compact when the bytes appended
+    # since the last compaction exceed this fraction of the compacted
+    # base (None = round-count only). Driver-side file-metadata check,
+    # no Spark job — at real scale this is an Iceberg snapshot-size
+    # policy. Amortizes the O(total) compaction cost against growth
+    # instead of a fixed clock.
+    seen_compact_ratio: float | None = None
 
 
 def _round_dir(cfg: CrawlConfig, round_id: int) -> str:
@@ -97,6 +104,34 @@ def _read(spark: SparkSession, path: str, schema=None) -> DataFrame | None:
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            fp = os.path.join(path, name)
+            if os.path.isfile(fp):
+                total += os.path.getsize(fp)
+    return total
+
+
+def seen_delta_exceeds_ratio(cfg: CrawlConfig, upto_round: int) -> bool:
+    """LSM-style compaction trigger: appended seen bytes since the
+    last compaction vs the compacted base size (file metadata only —
+    no Spark job; the deployment analog is an Iceberg snapshot-size
+    policy)."""
+    if cfg.seen_compact_ratio is None:
+        return False
+    delta, base, rid = 0, 0, upto_round
+    while rid >= 0:
+        d = os.path.join(_round_dir(cfg, rid), "seen")
+        if os.path.exists(os.path.join(_round_dir(cfg, rid), "_SEEN_COMPACT")):
+            base = _dir_bytes(d)
+            break
+        delta += _dir_bytes(d)
+        rid -= 1
+    return base > 0 and delta >= cfg.seen_compact_ratio * base
 
 
 def read_seen(spark: SparkSession, cfg: CrawlConfig, upto_round: int) -> DataFrame | None:
@@ -215,7 +250,10 @@ def run_round(
 
     # -- seen state update (append-only; periodic compaction) ------------
     scheduled_urls = schedule.select("url")
-    compact = cfg.seen_compact_every > 0 and round_id % cfg.seen_compact_every == cfg.seen_compact_every - 1
+    compact = (
+        cfg.seen_compact_every > 0
+        and round_id % cfg.seen_compact_every == cfg.seen_compact_every - 1
+    ) or seen_delta_exceeds_ratio(cfg, round_id - 1)
     if compact and seen is not None:
         full = seen.select("url").unionByName(scheduled_urls).distinct()
         _write(full, os.path.join(rdir, "seen"), cfg.state_write_partitions)
