@@ -77,3 +77,61 @@ def test_windowed_metrics_with_watermark(spark, tmp_path):
     assert total == 128
     hosts = {r["host"] for r in rows}
     assert "site0.example.com" in hosts
+
+
+def test_stateful_first_seen_dedup_across_batches_and_restarts(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup (§2.10): duplicates are
+    dropped across micro-batches within a run AND across query
+    restarts — the seen set lives in sharded engine state inside the
+    streaming checkpoint."""
+    import pandas as pd
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+    from web_scraper_spark.streaming.stateful import stream_first_seen
+    from web_scraper_spark.streaming.stream import pages_stream
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write_batch(name, lo, hi):
+        import datetime
+        pdf = pd.DataFrame({
+            "url": [f"https://h{i % 3}.x/p{i}" for i in range(lo, hi)],
+            "warc_ts": [datetime.datetime(2024, 1, 1)] * (hi - lo),
+            "html": [b"<p>x</p>"] * (hi - lo),
+            "text": ["x"] * (hi - lo),
+            "lang": ["en"] * (hi - lo),
+        })
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(pdir / name))
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        stream = pages_stream(spark, str(pdir) + "/*", max_files_per_trigger=1)
+        q = (
+            stream_first_seen(stream, n_shards=4)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [r["url"] for r in spark.read.parquet(out_dir).select("url").collect()]
+        return rows
+
+    write_batch("b1", 0, 10)
+    write_batch("b2", 5, 15)   # 5..9 are duplicates of b1
+    rows = run()
+    assert sorted(rows) == sorted(f"https://h{i % 3}.x/p{i}" for i in range(15))
+
+    # restart with a new file: only genuinely-new URLs are appended —
+    # state for u0..u14 was recovered from the checkpoint (a stateless
+    # restart would re-emit 10..14 and the count would be 25)
+    write_batch("b3", 10, 20)  # 10..14 are duplicates of run 1
+    rows2 = run()
+    assert sorted(rows2) == sorted(f"https://h{i % 3}.x/p{i}" for i in range(20))

@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator: first-seen URL dedup via
+``applyInPandasWithState`` (SURVEY.md §2.10 / task mandate).
+
+The batch engine's URL-seen membership is Bloom shards + an exact
+anti-join (crawl/frontier.py). This is the streaming-native twin: the
+seen set IS engine-managed state, keyed by a hash shard of the URL —
+so state is partitioned (no single executor holds the whole seen
+set), survives restarts through the streaming checkpoint, and new
+micro-batches only touch the shards their URLs land in.
+
+Scale notes:
+- the shard key is ``pmod(xxhash64(url), n_shards)`` — the same
+  hot-host-free partitioning as the batch Bloom shards; n_shards
+  bounds per-group state size and sets the parallelism of the
+  stateful stage.
+- per-shard state is an ``array<long>`` of 64-bit url hashes (8
+  bytes/url). At real scale you'd swap the array for a serialized
+  Bloom filter in the same state slot (bytes column) — the operator
+  shape is identical; the exact-set variant keeps the tests
+  false-positive-free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..crawl.bloom import stable_hash64
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("hashes", T.ArrayType(T.LongType()), True)]
+)
+
+
+def stream_first_seen(
+    pages: DataFrame, n_shards: int = 16, url_col: str = "url"
+) -> DataFrame:
+    """Streaming first-seen filter: emits each URL's FIRST arrival and
+    drops every later duplicate, across micro-batches AND across
+    restarts (state lives in the streaming checkpoint).
+
+    Output schema = input schema (append mode)."""
+    out_schema = pages.schema
+
+    def dedup(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mask = []
+            for u in pdf[url_col]:
+                # signed 64-bit: stable_hash64 is unsigned, and values
+                # over 2^63-1 silently overflow the LongType state
+                # column (debugged: exactly those URLs re-emitted
+                # after the overflowing entry was lost on state write)
+                h = stable_hash64(u)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                if h in seen:
+                    mask.append(False)
+                else:
+                    seen.add(h)
+                    mask.append(True)
+            out = pdf[pd.Series(mask, index=pdf.index)]
+            if len(out):
+                yield out.drop(columns=["_shard"])
+        state.update((list(seen),))
+
+    with_shard = pages.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards))
+    )
+    return with_shard.groupBy("_shard").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
