@@ -109,6 +109,32 @@ def quality_score(text: Column) -> Column:
     return F.round(length_ok + stop_ok + punct_ok + upper_ok, 4)
 
 
+# PII patterns shared by detection and redaction. Java regex and
+# DuckDB's RE2 agree on this subset (\b, \d, {m,n} all portable).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII pattern counts (pretraining-scrub signal):
+    emails, phone numbers, IPv4 literals. Pure Column expressions."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact PII in place: email → [EMAIL], phone → [PHONE],
+    IPv4 → [IP]. Order matters — emails first so their host parts
+    are not half-eaten by the ip pattern."""
+    out = F.regexp_replace(text, PII_PATTERNS["email"], "[EMAIL]")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "[PHONE]")
+    return F.regexp_replace(out, PII_PATTERNS["ip"], "[IP]")
+
+
 def duplicate_token_fraction(text: Column) -> Column:
     """Gopher-style repetition signal: 1 − distinct/total over the
     normalized token stream (boilerplate and looped generations score

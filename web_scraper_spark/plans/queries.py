@@ -792,6 +792,63 @@ def q59_repetition(spark, sf_dir):
 
 
 # =====================================================================
+# PII detection + redaction (pretraining scrub).
+# =====================================================================
+@query(
+    "q61_pii_scrub",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+        text
+        || (CASE doc_id % 3
+              WHEN 0 THEN ' reach me at ' || source || '@mail.example.com'
+              WHEN 1 THEN ' call 555-123-4567 or 555.987.6543 now'
+              ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0
+                 THEN ' server 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END) AS t
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+      len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+      len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')) AS scrubbed_md5
+    FROM injected
+    """,
+)
+def q61_pii_scrub(spark, sf_dir):
+    """PII detection counts + in-place redaction over documents with
+    deterministically injected emails/phones/IPs (the raw corpus has
+    none — injection makes the oracle non-vacuous). All pure
+    expressions; the redacted text is md5'd for the hash gate."""
+    d = _load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" reach me at "), F.col("source"), F.lit("@mail.example.com")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-123-4567 or 555.987.6543 now"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" server 10.0.0."), (F.col("doc_id") % 250).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    counts = TX.pii_counts(t)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ip"].alias("n_ip"),
+        F.md5(TX.scrub_pii(t)).alias("scrubbed_md5"),
+    )
+
+
+# =====================================================================
 # Frontier URL canonicalization (crawl-dedup key).
 # =====================================================================
 @query(
