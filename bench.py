@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "q51_simhash_near_dup", "q52_minhash_lsh", "q53_ivf_topk",
     "q54_media_features", "q55_video_docs", "q56_container_docs",
     "q57_chapter_asof", "q58_simhash_md5", "q59_repetition",
-    "q60_canonical_url", "q61_pii_scrub",
+    "q60_canonical_url", "q61_pii_scrub", "q62_lsh_embed_near_dup",
 ]
 
 

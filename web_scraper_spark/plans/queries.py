@@ -723,6 +723,52 @@ def q28_embed_near_dup(spark, sf_dir):
 
 
 # =====================================================================
+# Sign-LSH bucketed embedding near-dup (the LSH counterpart of the
+# IVF path; deterministic md5-derived hyperplanes shared as decimal
+# literals by both engines).
+# =====================================================================
+def _lsh_bucket_sql(planes: list[list[float]]) -> str:
+    terms = []
+    for k, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_HP_PLANES = S.random_hyperplanes(dim=64, n_planes=6)
+
+
+@query(
+    "q62_lsh_embed_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql(_HP_PLANES)} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.v, c.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_dot_product(a.v, c.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.35
+    """,
+)
+def q62_lsh_embed_near_dup(spark, sf_dir):
+    """Embedding near-dup with sign-LSH bucketing (Charikar random
+    hyperplanes): buckets are a pure expression, the self-join is
+    bucket-restricted (never all-pairs), and even the bucket bits are
+    oracle-checked — the SQL recomputes them from the same hyperplane
+    literals."""
+    emb = _load(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", S.hyperplane_lsh_bucket(F.col("embedding"), _HP_PLANES)
+    )
+    return D.embedding_near_dups(
+        bucketed, "embedding", "vec_id", threshold=0.35, bucket_col="bucket"
+    )
+
+
+# =====================================================================
 # Rows-only queries (no SQL oracle — non-relational or Spark-specific):
 # =====================================================================
 @query("q50_extract_pages")
