@@ -56,9 +56,11 @@ def _decode_image_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decode for plumbing tests: derives
-    (width, height, n_frames) from the content hash — stable across
-    partitionings and engines."""
+    """Deterministic fake decode: derives (width, height, n_frames)
+    from the content hash — stable across partitionings and engines.
+    This is the per-row reference twin of the columnar pass inside
+    :func:`extract_media_features` (which reuses one md5 per payload
+    rather than calling this per row); keep the two in sync."""
     h = hashlib.md5(payload or b"").digest()
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
 
