@@ -295,3 +295,29 @@ def test_lsh_embedding_multi_table_recall(spark):
     }
     assert recall >= 0.8, f"multi-table recall too low: {recall:.2f}"
     assert len(single) <= len(got)
+
+
+def test_global_sentence_dedup_semantics(spark):
+    from web_scraper_spark.operators.dedup import global_sentence_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one. shared line. beta two"),
+            (2, "shared line. gamma three"),   # loses 'shared line'
+            (3, "shared line"),                 # fully emptied
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in global_sentence_dedup(df, "text", "id").collect()}
+    assert out[1]["clean_text"] == "alpha one. shared line. beta two"
+    assert (out[1]["n_kept"], out[1]["n_total"]) == (3, 3)
+    assert out[2]["clean_text"] == "gamma three"   # order of survivors kept
+    assert (out[2]["n_kept"], out[2]["n_total"]) == (1, 2)
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    # normalization: case/whitespace variants are the same sentence
+    df2 = spark.createDataFrame(
+        [(1, "Hello   World. x"), (2, "hello world. y")], "id int, text string"
+    )
+    out2 = {r["id"]: r["clean_text"] for r in
+            global_sentence_dedup(df2, "text", "id").collect()}
+    assert out2[2] == "y"

@@ -276,6 +276,53 @@ def simhash64_agg(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select("id", fp.alias("fp"))
 
 
+def global_sentence_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = ". ",
+) -> DataFrame:
+    """C4-style GLOBAL span dedup: every sentence (``sep``-delimited
+    span) is kept only at its first occurrence across the WHOLE
+    corpus; later occurrences are dropped and each document is
+    reassembled from its surviving sentences in original order.
+
+    First-seen is by (document id, position) — deterministic at any
+    parallelism. The dedup window keys on md5(normalized sentence)
+    (32-byte shuffle keys, never sentence text — same scale rule as
+    q09); reassembly is one groupBy(id) with an array_sort fold.
+
+    Returns (id, clean_text, n_kept, n_total).
+    """
+    import re as _re
+
+    sent = df.select(
+        F.col(id_col).alias("id"),
+        # Spark split takes a REGEX — escape the literal separator
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("pos", "s"),
+    ).withColumn("_k", F.md5(normalize_text(F.col("s"))))
+    kept = first_seen_dedup(sent, ["_k"], [F.col("id"), F.col("pos")])
+    totals = sent.groupBy("id").agg(F.count("*").alias("n_total"))
+    rebuilt = (
+        kept.select("id", F.struct("pos", "s").alias("p"))
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep, F.transform(F.array_sort(F.collect_list("p")), lambda x: x["s"])
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    # left join from totals: a document whose every sentence was seen
+    # earlier disappears from `rebuilt` → empty clean_text, n_kept 0
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "n_total",
+    )
+
+
 def banded_hamming_pairs(
     fps: DataFrame, n_bits: int, max_hamming: int
 ) -> DataFrame:

@@ -723,6 +723,69 @@ def q28_embed_near_dup(spark, sf_dir):
 
 
 # =====================================================================
+# C4-style global sentence dedup: keep every sentence at its first
+# corpus-wide occurrence, reassemble documents from survivors.
+# =====================================================================
+@query(
+    "q63_sentence_dedup",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id // 5 AS pid,
+             'copyright footer all rights reserved. '
+             || string_agg(text, '. ' ORDER BY doc_id) AS para
+      FROM documents GROUP BY (doc_id // 5)),
+    split_s AS (SELECT pid, string_split(para, '. ') AS s FROM paras),
+    sent AS (SELECT pid, unnest(s) AS stext, unnest(range(len(s))) AS pos FROM split_s),
+    keyed AS (
+      SELECT pid, pos, stext,
+             md5(trim(lower(regexp_replace(stext, '\\s+', ' ', 'g')))) AS k
+      FROM sent),
+    kept AS (
+      SELECT pid, pos, stext FROM (
+        SELECT pid, pos, stext,
+               row_number() OVER (PARTITION BY k ORDER BY pid, pos) AS rn
+        FROM keyed) WHERE rn = 1),
+    totals AS (SELECT pid, count(*) AS n_total FROM sent GROUP BY pid),
+    rebuilt AS (
+      SELECT pid, md5(string_agg(stext, '. ' ORDER BY pos)) AS clean_md5,
+             count(*) AS n_kept
+      FROM kept GROUP BY pid)
+    SELECT t.pid, coalesce(r.clean_md5, md5('')) AS clean_md5,
+           coalesce(r.n_kept, 0) AS n_kept, t.n_total
+    FROM totals t LEFT JOIN rebuilt r ON r.pid = t.pid
+    """,
+)
+def q63_sentence_dedup(spark, sf_dir):
+    """C4's global span dedup over composed paragraphs (5 docs → one
+    '. '-joined paragraph, each prefixed with the SAME boilerplate
+    sentence — the canonical C4 target: the first paragraph keeps it,
+    every later one drops it). First-seen is by (pid, pos); the dedup
+    window shuffles md5 digests only."""
+    d = _load(spark, sf_dir, "documents")
+    pid = F.floor(F.col("doc_id") / 5).cast("long")
+    paras = (
+        d.select(pid.alias("pid"), F.struct("doc_id", "text").alias("p"))
+        .groupBy("pid")
+        .agg(
+            F.concat(
+                F.lit("copyright footer all rights reserved. "),
+                F.concat_ws(
+                    ". ",
+                    F.transform(F.array_sort(F.collect_list("p")), lambda x: x["text"]),
+                ),
+            ).alias("para")
+        )
+    )
+    out = D.global_sentence_dedup(paras, "para", "pid")
+    return out.select(
+        F.col("id").alias("pid"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_total",
+    )
+
+
+# =====================================================================
 # Sign-LSH bucketed embedding near-dup (the LSH counterpart of the
 # IVF path; deterministic md5-derived hyperplanes shared as decimal
 # literals by both engines).
