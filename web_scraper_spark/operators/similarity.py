@@ -240,3 +240,37 @@ def lsh_embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    iterations: int = 1,
+) -> DataFrame:
+    """Lloyd refinement from seed centroids: assign every vector to
+    its nearest centroid (cosine, ties to the lowest centroid_id via
+    ivf_assign_topn) and recompute each centroid as the per-cluster
+    mean — repeated ``iterations`` times. Each iteration is one
+    broadcast of the SMALL centroid table plus one (cluster, dim)
+    groupBy with map-side partial means; the corpus never shuffles on
+    anything wider than those keys. Seeds that attract no vectors
+    drop out (standard Lloyd behavior). Returns (centroid_id,
+    centroid)."""
+    cur = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign_topn(df, vec_col, id_col, cur, 1)
+        dims = assigned.select(
+            "centroid_id",
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        cur = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id", F.transform("pm", lambda s: s["m"]).alias("centroid")
+            )
+        )
+    return cur

@@ -723,6 +723,51 @@ def q28_embed_near_dup(spark, sf_dir):
 
 
 # =====================================================================
+# IVF index refinement: one Lloyd k-means iteration from label seeds,
+# oracled per (cluster, dimension).
+# =====================================================================
+@query(
+    "q64_kmeans_refine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT label, i, avg(v[i]) AS m
+             FROM e, generate_series(1, 64) AS t(i) GROUP BY label, i),
+    cent AS (SELECT label AS cid, list(m ORDER BY i) AS cv FROM dims GROUP BY label),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) /
+                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    newdims AS (
+      SELECT cid, i, avg(v[i]) AS m
+      FROM assigned, generate_series(1, 64) AS t(i) GROUP BY cid, i)
+    SELECT cid AS centroid_id, CAST(i AS INT) AS dim, round(m, 6) AS m
+    FROM newdims
+    """,
+)
+def q64_kmeans_refine(spark, sf_dir):
+    """IVF index build with one Lloyd refinement iteration: label-mean
+    seeds → nearest-centroid reassignment → recomputed means. The
+    oracle recomputes the full iteration (assignment argmax with the
+    same centroid-id tie-break, then per-(cluster, dim) means)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    seeds = S.label_centroids(emb, "embedding", "label")
+    refined = S.kmeans_refine(emb, "embedding", "vec_id", seeds, iterations=1)
+    return refined.select(
+        "centroid_id",
+        F.posexplode("centroid").alias("pos", "x"),
+    ).select(
+        "centroid_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round("x", 6).alias("m"),
+    )
+
+
+# =====================================================================
 # C4-style global sentence dedup: keep every sentence at its first
 # corpus-wide occurrence, reassemble documents from survivors.
 # =====================================================================
