@@ -284,3 +284,39 @@ def test_deferred_and_rediscovered_url_not_duplicated(spark, tmp_path):
     # with its ORIGINAL seed priority (1.0), not the rediscovery one
     f1 = spark.read.parquet(f"{tmp_path}/ck/round=0/frontier").collect()
     assert [(r["url"], r["priority"]) for r in f1] == [(s2, 1.0)]
+
+
+def test_parse_robots_rfc_subset(spark):
+    """robots.txt parsing quirks: stacked UA lines share one group, a
+    UA line after rules starts a NEW group, agent-specific groups are
+    skipped, rules before any UA are ignored, comments stripped, empty
+    Disallow skipped, first applicable Crawl-delay wins, malformed
+    delay -> NULL (not an ANSI error)."""
+    from web_scraper_spark.crawl.robots import parse_robots
+
+    body = "\n".join([
+        "Disallow: /ignored-before-ua",
+        "User-agent: googlebot",
+        "Disallow: /google-only",
+        "User-agent: *",
+        "User-agent: fetchbot",
+        "Disallow: /private   # trailing comment",
+        "Crawl-delay: 2.5",
+        "Disallow:",
+        "Disallow: /tmp",
+        "User-agent: *",
+        "Crawl-delay: 9",
+        "Disallow: /second-group",
+    ])
+    df = spark.createDataFrame([("a.x", body), ("b.x", "User-agent: *\nCrawl-delay: soon")],
+                               "host string, robots_txt string")
+    out = {r["host"]: r for r in parse_robots(df).collect()}
+    a = out["a.x"]
+    assert a["disallow"] == ["/private", "/tmp", "/second-group"]
+    assert a["crawl_delay"] == 2.5
+    assert out["b.x"]["crawl_delay"] is None  # malformed -> NULL
+    # a body with no applicable group yields no row at all
+    df2 = spark.createDataFrame(
+        [("c.x", "User-agent: googlebot\nDisallow: /x")], "host string, robots_txt string"
+    )
+    assert parse_robots(df2).count() == 0

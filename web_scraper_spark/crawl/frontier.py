@@ -122,7 +122,7 @@ def build_seen_shards(
         F.col(url_col).alias("url"), shard_udf(F.col(url_col)).alias("shard_id")
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key, pdf):  # no hints: future-annotations stringifies them and pandas group-ops warns
         shard = BloomShard.sized_for(expected_per_shard, fp_rate)
         for u in pdf["url"]:
             shard.add(u)
@@ -144,7 +144,7 @@ def merge_shard_tables(shards: DataFrame) -> DataFrame:
     """OR-merge shard rows across rounds: groupBy shard_id, fold
     sketches. Small data (n_shards rows after merge)."""
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key, pdf):
         acc: BloomShard | None = None
         for raw in pdf["sketch"]:
             s = BloomShard.from_bytes(bytes(raw))

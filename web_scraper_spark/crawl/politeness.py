@@ -106,7 +106,7 @@ def schedule_round(
 
     budget = round_budget_ms
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key, pdf):  # no hints: future-annotations stringifies them and pandas group-ops warns
         # Vectorized virtual-clock assignment: offset[i] = start +
         # cumsum(delays)[i-1]. A hot host funnels its whole round quota
         # into this one group, so the group body must be O(n) numpy,

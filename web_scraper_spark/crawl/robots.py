@@ -1,0 +1,94 @@
+"""robots.txt parsing → the broadcastable rules table (J5 input).
+
+The engine's politeness filter consumes (host, disallow[], crawl_delay)
+rows (frontier.ROBOTS_SCHEMA). This module produces them from RAW
+robots.txt bodies — the missing step when the input is a Common-Crawl
+style corpus where robots bodies are just fetched pages.
+
+Parsing is RELATIONAL, not a per-row state machine: explode lines,
+classify each, mark user-agent BLOCK starts with a lag window, assign
+every rule line to its governing block with a running sum, keep the
+blocks whose user-agent set contains the target agent, and fold the
+surviving rules per host. Scale shape: one shuffle on host for the
+windows (robots bodies are tiny — one row per host — so the window
+groups are line-count sized), everything JVM-side.
+
+RFC 9309 subset implemented (deliberately, and mirrored by the q65
+oracle): comment stripping at '#', stacked consecutive User-agent
+lines form one group, a User-agent line after rules starts a NEW
+group, rules before any User-agent line are ignored, empty Disallow
+values are ignored (allow-all), first Crawl-delay in an applicable
+group wins. Allow lines and wildcards are out of scope — the
+downstream filter is prefix-based (frontier.apply_url_filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, robots_txt) → (host, disallow array<string>, crawl_delay
+    double) for the given user agent. Hosts whose body yields no
+    applicable rules are absent from the output (the politeness join
+    is a left join, so they simply crawl unrestricted)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n", -1)).alias("pos", "raw"),
+    ).withColumn(
+        "line", F.trim(F.element_at(F.split(F.col("raw"), "#", 2), 1))
+    )
+    low = F.lower(F.col("line"))
+    classified = lines.select(
+        "host",
+        "pos",
+        F.when(low.startswith("user-agent:"), F.lit("ua"))
+        .when(low.startswith("disallow:"), F.lit("dis"))
+        .when(low.startswith("crawl-delay:"), F.lit("delay"))
+        .otherwise(F.lit("other"))
+        .alias("kind"),
+        # try_element_at: comment/blank lines have no ':' → NULL value
+        F.trim(F.try_element_at(F.split(F.col("line"), ":", 2), F.lit(2))).alias("value"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("kind") == "ua").cast("int")
+    block_start = (
+        (F.col("kind") == "ua")
+        & (F.coalesce(F.lag("kind").over(w), F.lit("other")) != "ua")
+    ).cast("int")
+    grouped = classified.withColumn(
+        "grp",
+        F.sum(block_start).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn("_is_ua", is_ua)
+    star_groups = (
+        grouped.filter((F.col("kind") == "ua") & (F.col("value") == agent))
+        .select("host", "grp")
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("kind").isin("dis", "delay") & (F.col("grp") > 0)
+    ).join(star_groups, ["host", "grp"], "left_semi")
+    return rules.groupBy("host").agg(
+        F.filter(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kind") == "dis", F.struct("pos", "value"))
+                    )
+                ),
+                lambda s: s["value"],
+            ),
+            lambda v: v != "",
+        ).alias("disallow"),
+        # try_cast: a malformed delay value ('Crawl-delay: fast') is
+        # NULL, not a crawl-stopping ANSI error
+        F.min(
+            F.when(F.col("kind") == "delay", F.struct("pos", F.col("value")))
+        )["value"].try_cast("double").alias("crawl_delay"),
+    )

@@ -723,6 +723,105 @@ def q28_embed_near_dup(spark, sf_dir):
 
 
 # =====================================================================
+# robots.txt parsing (raw bodies → the broadcastable rules table).
+# =====================================================================
+@query(
+    "q65_robots_parse",
+    oracle="""
+    WITH hosts AS (
+      SELECT DISTINCT source AS host, CAST(substr(source, 4) AS INT) AS k
+      FROM documents),
+    bodies AS (
+      SELECT host, array_to_string([
+        '# robots for ' || host,
+        'Disallow: /early-ignored',
+        'User-agent: googlebot',
+        'Disallow: /google-' || CAST(k AS VARCHAR),
+        'User-agent: *',
+        CASE WHEN k % 2 = 0 THEN 'User-agent: fetchbot'
+             ELSE 'Disallow: /a' || CAST(k AS VARCHAR) END,
+        'Disallow: /private # comment',
+        CASE WHEN k % 3 = 0 THEN 'Crawl-delay: ' || CAST(k + 1 AS VARCHAR)
+             WHEN k % 3 = 1 THEN 'Crawl-delay: fast'
+             ELSE '' END,
+        'Disallow:',
+        'User-agent: *',
+        'Disallow: /tail-' || CAST(k AS VARCHAR)
+      ], chr(10)) AS body
+      FROM hosts),
+    lines AS (
+      SELECT host, unnest(range(len(string_split(body, chr(10))))) AS pos,
+             trim(string_split(unnest(string_split(body, chr(10))), '#')[1]) AS line
+      FROM bodies),
+    cls AS (
+      SELECT host, pos,
+        CASE WHEN lower(line) LIKE 'user-agent:%' THEN 'ua'
+             WHEN lower(line) LIKE 'disallow:%' THEN 'dis'
+             WHEN lower(line) LIKE 'crawl-delay:%' THEN 'delay'
+             ELSE 'other' END AS kind,
+        trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS value
+      FROM lines),
+    lagged AS (
+      SELECT host, pos, kind, value,
+        coalesce(lag(kind) OVER (PARTITION BY host ORDER BY pos), 'other') AS prev_kind
+      FROM cls),
+    grouped AS (
+      SELECT host, pos, kind, value,
+        sum(CASE WHEN kind = 'ua' AND prev_kind <> 'ua' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged),
+    star AS (
+      SELECT DISTINCT host, grp FROM grouped
+      WHERE kind = 'ua' AND value = '*'),
+    rules AS (
+      SELECT g.* FROM grouped g SEMI JOIN star s
+        ON g.host = s.host AND g.grp = s.grp
+      WHERE g.kind IN ('dis', 'delay') AND g.grp > 0)
+    SELECT host,
+      array_to_string(list(value ORDER BY pos) FILTER (kind = 'dis' AND value <> ''), '|') AS disallow_str,
+      TRY_CAST(min_by(value, pos) FILTER (kind = 'delay') AS DOUBLE) AS crawl_delay
+    FROM rules GROUP BY host
+    """,
+)
+def q65_robots_parse(spark, sf_dir):
+    """RFC-9309-subset robots.txt parsing over deterministic bodies
+    (stacked UA lines, agent-specific groups to skip, trailing
+    comments, empty Disallow, non-numeric Crawl-delay, rules before
+    any UA, a second '*' group). Relational implementation — lag +
+    running-sum block assignment — mirrored exactly by the oracle."""
+    from ..crawl.robots import parse_robots
+
+    d = _load(spark, sf_dir, "documents")
+    k = F.substring(F.col("source"), 4, 10).cast("int")
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for "), F.col("source")),
+        F.lit("Disallow: /early-ignored"),
+        F.lit("User-agent: googlebot"),
+        F.concat(F.lit("Disallow: /google-"), k.cast("string")),
+        F.lit("User-agent: *"),
+        F.when(k % 2 == 0, F.lit("User-agent: fetchbot")).otherwise(
+            F.concat(F.lit("Disallow: /a"), k.cast("string"))
+        ),
+        F.lit("Disallow: /private # comment"),
+        F.when(k % 3 == 0, F.concat(F.lit("Crawl-delay: "), (k + 1).cast("string")))
+        .when(k % 3 == 1, F.lit("Crawl-delay: fast"))
+        .otherwise(F.lit("")),
+        F.lit("Disallow:"),
+        F.lit("User-agent: *"),
+        F.concat(F.lit("Disallow: /tail-"), k.cast("string")),
+    )
+    bodies = d.select(F.col("source").alias("host"), body.alias("robots_txt")).distinct()
+    rules = parse_robots(bodies)
+    return rules.select(
+        "host",
+        F.concat_ws("|", F.col("disallow")).alias("disallow_str"),
+        "crawl_delay",
+    )
+
+
+# =====================================================================
 # IVF index refinement: one Lloyd k-means iteration from label seeds,
 # oracled per (cluster, dimension).
 # =====================================================================
