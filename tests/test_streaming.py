@@ -135,3 +135,50 @@ def test_stateful_first_seen_dedup_across_batches_and_restarts(spark, tmp_path):
     write_batch("b3", 10, 20)  # 10..14 are duplicates of run 1
     rows2 = run()
     assert sorted(rows2) == sorted(f"https://h{i % 3}.x/p{i}" for i in range(20))
+
+
+def test_stateful_bloom_backend_no_duplicates(spark, tmp_path):
+    """Bloom state backend (fixed-size per shard): never emits a
+    duplicate (no false negatives), and at a tight fp budget emits
+    nearly all first arrivals; state survives micro-batches."""
+    import collections
+    import datetime
+
+    import pandas as pd
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+    from web_scraper_spark.streaming.stateful import stream_first_seen
+    from web_scraper_spark.streaming.stream import pages_stream
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+
+    def write_batch(name, lo, hi):
+        pdf = pd.DataFrame({
+            "url": [f"https://h{i % 3}.x/p{i}" for i in range(lo, hi)],
+            "warc_ts": [datetime.datetime(2024, 1, 1)] * (hi - lo),
+            "html": [b"<p>x</p>"] * (hi - lo),
+            "text": ["x"] * (hi - lo),
+            "lang": ["en"] * (hi - lo),
+        })
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(pdir / name))
+
+    write_batch("b1", 0, 300)
+    write_batch("b2", 150, 450)  # 150 duplicates
+    stream = pages_stream(spark, str(pdir) + "/*", max_files_per_trigger=1)
+    q = (
+        stream_first_seen(stream, n_shards=4, exact=False, fp_rate=1e-4)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r["url"] for r in spark.read.parquet(str(tmp_path / "out")).collect()]
+    counts = collections.Counter(rows)
+    assert all(v == 1 for v in counts.values())          # no-FN: never a dup
+    assert 445 <= len(counts) <= 450                      # ≤ fp-rate loss

@@ -30,24 +30,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..crawl.bloom import stable_hash64
+from ..crawl.bloom import BloomShard, stable_hash64
 
 _STATE_SCHEMA = T.StructType(
     [T.StructField("hashes", T.ArrayType(T.LongType()), True)]
 )
 
+_BLOOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("sketch", T.BinaryType(), True)]
+)
+
 
 def stream_first_seen(
-    pages: DataFrame, n_shards: int = 16, url_col: str = "url"
+    pages: DataFrame,
+    n_shards: int = 16,
+    url_col: str = "url",
+    exact: bool = True,
+    expected_per_shard: int = 1 << 16,
+    fp_rate: float = 1e-4,
 ) -> DataFrame:
     """Streaming first-seen filter: emits each URL's FIRST arrival and
     drops every later duplicate, across micro-batches AND across
     restarts (state lives in the streaming checkpoint).
 
+    Two state backends behind the same operator shape:
+    - ``exact=True``: per-shard set of 64-bit url hashes
+      (``array<long>``, 8 bytes/url) — false-positive-free, state
+      grows O(urls).
+    - ``exact=False``: per-shard serialized Bloom filter (``binary``)
+      — state is FIXED-SIZE per shard regardless of url count, the
+      10^10-scale backend. No false negatives (a duplicate never
+      passes), but the configured ``fp_rate`` of genuinely-new URLs
+      is mistakenly dropped — the standard sketch trade, same as the
+      batch engine's Bloom shards (which recover exactness with an
+      exact anti-join on suspects; a stream has no retroactive join,
+      so the loss rate IS the fp rate).
+
     Output schema = input schema (append mode)."""
     out_schema = pages.schema
 
-    def dedup(
+    def dedup_exact(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
@@ -71,13 +93,33 @@ def stream_first_seen(
                 yield out.drop(columns=["_shard"])
         state.update((list(seen),))
 
+    def dedup_bloom(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            shard = BloomShard.from_bytes(bytes(state.get[0]))
+        else:
+            shard = BloomShard.sized_for(expected_per_shard, fp_rate)
+        for pdf in pdfs:
+            mask = []
+            for u in pdf[url_col]:
+                if u in shard:
+                    mask.append(False)
+                else:
+                    shard.add(u)
+                    mask.append(True)
+            out = pdf[pd.Series(mask, index=pdf.index)]
+            if len(out):
+                yield out.drop(columns=["_shard"])
+        state.update((shard.to_bytes(),))
+
     with_shard = pages.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards))
     )
     return with_shard.groupBy("_shard").applyInPandasWithState(
-        dedup,
+        dedup_exact if exact else dedup_bloom,
         outputStructType=out_schema,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA if exact else _BLOOM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
