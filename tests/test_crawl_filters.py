@@ -320,3 +320,43 @@ def test_parse_robots_rfc_subset(spark):
         [("c.x", "User-agent: googlebot\nDisallow: /x")], "host string, robots_txt string"
     )
     assert parse_robots(df2).count() == 0
+
+
+def test_robots_longest_match_allow_precedence(spark):
+    """RFC 9309 precedence: longest prefix wins, Allow wins ties, no
+    match allows — wired through apply_url_filters when the rules
+    table carries an allow column."""
+    from web_scraper_spark.crawl.robots import robots_allowed
+
+    cases = [
+        # (path, disallow, allow, expected)
+        ("/page", ["/p"], ["/page"], True),        # allow longer
+        ("/page", ["/page"], ["/p"], False),       # disallow longer
+        ("/page", ["/page"], ["/page"], True),     # tie -> allow wins
+        ("/free", ["/page"], [], True),            # no match -> allowed
+        ("/private/ok/x", ["/private"], ["/private/ok"], True),
+        ("/private/no", ["/private"], ["/private/ok"], False),
+        ("/x", [], [], True),
+    ]
+    df = spark.createDataFrame(
+        [(p, d, a, e) for p, d, a, e in cases],
+        "path string, disallow array<string>, allow array<string>, expected boolean",
+    )
+    got = df.select(
+        "path", "expected",
+        robots_allowed(F.col("path"), F.col("disallow"), F.col("allow")).alias("ok"),
+    ).collect()
+    for r in got:
+        assert r["ok"] == r["expected"], r["path"]
+
+    # end-to-end through the frontier filter
+    f = seeds_to_frontier(
+        spark,
+        ["https://a.x/private/no", "https://a.x/private/ok/1", "https://a.x/open"],
+    )
+    rules = spark.createDataFrame(
+        [("a.x", ["/private"], ["/private/ok"], None)],
+        "host string, disallow array<string>, allow array<string>, crawl_delay double",
+    )
+    out = {r["url"] for r in apply_url_filters(f, robots=rules).collect()}
+    assert out == {"https://a.x/private/ok/1", "https://a.x/open"}

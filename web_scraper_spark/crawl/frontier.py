@@ -73,24 +73,31 @@ def apply_url_filters(
     robots: DataFrame | None = None,
     ignore_patterns: list[str] | None = None,
 ) -> DataFrame:
-    """Validity + ignore-patterns + robots-disallow filters.
+    """Validity + ignore-patterns + robots filters.
 
-    robots (small) is broadcast (J5); disallow prefixes are checked
-    with ``exists`` over the array — JVM-side."""
+    robots (small) is broadcast (J5). Two rule shapes are accepted:
+    the legacy (host, disallow[], crawl_delay) table applies
+    any-prefix disallow; a table that ALSO carries an ``allow`` column
+    (crawl/robots.py::parse_robots output) applies RFC 9309
+    longest-match precedence with Allow winning ties. Both are pure
+    expressions over the broadcast row."""
     out = frontier.filter(C.is_valid_url(F.col("url")))
     if ignore_patterns:
         out = out.filter(~C.matches_ignore_patterns(F.col("url"), ignore_patterns))
     if robots is not None:
         path = C.url_path(F.col("url"))
-        disallowed = F.exists(
-            F.coalesce(F.col("disallow"), F.array()),
-            lambda p: path.startswith(p),
-        )
-        out = (
-            out.join(F.broadcast(robots), "host", "left")
-            .filter(~disallowed)
-            .drop("disallow")
-        )
+        joined = out.join(F.broadcast(robots), "host", "left")
+        if "allow" in robots.columns:
+            from .robots import robots_allowed
+
+            keep = robots_allowed(path, F.col("disallow"), F.col("allow"))
+            out = joined.filter(keep).drop("disallow", "allow")
+        else:
+            disallowed = F.exists(
+                F.coalesce(F.col("disallow"), F.array()),
+                lambda p: path.startswith(p),
+            )
+            out = joined.filter(~disallowed).drop("disallow")
     return out
 
 

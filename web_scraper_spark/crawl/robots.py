@@ -16,10 +16,11 @@ groups are line-count sized), everything JVM-side.
 RFC 9309 subset implemented (deliberately, and mirrored by the q65
 oracle): comment stripping at '#', stacked consecutive User-agent
 lines form one group, a User-agent line after rules starts a NEW
-group, rules before any User-agent line are ignored, empty Disallow
-values are ignored (allow-all), first Crawl-delay in an applicable
-group wins. Allow lines and wildcards are out of scope — the
-downstream filter is prefix-based (frontier.apply_url_filters).
+group, rules before any User-agent line are ignored, empty
+Disallow/Allow values are ignored, first Crawl-delay in an applicable
+group wins. Allow lines participate via :func:`robots_allowed`
+(longest prefix match wins, Allow wins ties). Wildcard patterns
+('*'/'$') are out of scope — the whole filter chain is prefix-based.
 """
 
 from __future__ import annotations
@@ -34,10 +35,11 @@ def parse_robots(
     body_col: str = "robots_txt",
     agent: str = "*",
 ) -> DataFrame:
-    """(host, robots_txt) → (host, disallow array<string>, crawl_delay
-    double) for the given user agent. Hosts whose body yields no
-    applicable rules are absent from the output (the politeness join
-    is a left join, so they simply crawl unrestricted)."""
+    """(host, robots_txt) → (host, disallow array<string>, allow
+    array<string>, crawl_delay double) for the given user agent.
+    Hosts whose body yields no applicable rules are absent from the
+    output (the politeness join is a left join, so they simply crawl
+    unrestricted)."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n", -1)).alias("pos", "raw"),
@@ -50,6 +52,7 @@ def parse_robots(
         "pos",
         F.when(low.startswith("user-agent:"), F.lit("ua"))
         .when(low.startswith("disallow:"), F.lit("dis"))
+        .when(low.startswith("allow:"), F.lit("allow"))
         .when(low.startswith("crawl-delay:"), F.lit("delay"))
         .otherwise(F.lit("other"))
         .alias("kind"),
@@ -72,23 +75,47 @@ def parse_robots(
         .distinct()
     )
     rules = grouped.filter(
-        F.col("kind").isin("dis", "delay") & (F.col("grp") > 0)
+        F.col("kind").isin("dis", "allow", "delay") & (F.col("grp") > 0)
     ).join(star_groups, ["host", "grp"], "left_semi")
-    return rules.groupBy("host").agg(
-        F.filter(
+
+    def rule_list(kind: str):
+        return F.filter(
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(F.col("kind") == "dis", F.struct("pos", "value"))
+                        F.when(F.col("kind") == kind, F.struct("pos", "value"))
                     )
                 ),
                 lambda s: s["value"],
             ),
             lambda v: v != "",
-        ).alias("disallow"),
+        )
+
+    return rules.groupBy("host").agg(
+        rule_list("dis").alias("disallow"),
+        rule_list("allow").alias("allow"),
         # try_cast: a malformed delay value ('Crawl-delay: fast') is
         # NULL, not a crawl-stopping ANSI error
         F.min(
             F.when(F.col("kind") == "delay", F.struct("pos", F.col("value")))
         )["value"].try_cast("double").alias("crawl_delay"),
     )
+
+
+def robots_allowed(path, disallow, allow):
+    """RFC 9309 longest-match precedence as a pure Column expression:
+    among all PREFIX-matching rules the longest pattern wins, and an
+    Allow wins length ties; no matching rule → allowed. (Wildcard
+    patterns are a documented non-goal — the engine's filter chain is
+    prefix-based throughout.)"""
+
+    def best(patterns):
+        return F.aggregate(
+            F.coalesce(patterns, F.array().cast("array<string>")),
+            F.lit(-1),
+            lambda acc, p: F.greatest(
+                acc, F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1))
+            ),
+        )
+
+    return best(allow) >= best(disallow)

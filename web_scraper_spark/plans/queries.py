@@ -741,6 +741,7 @@ def q28_embed_near_dup(spark, sf_dir):
         CASE WHEN k % 2 = 0 THEN 'User-agent: fetchbot'
              ELSE 'Disallow: /a' || CAST(k AS VARCHAR) END,
         'Disallow: /private # comment',
+        'Allow: /private/ok-' || CAST(k AS VARCHAR),
         CASE WHEN k % 3 = 0 THEN 'Crawl-delay: ' || CAST(k + 1 AS VARCHAR)
              WHEN k % 3 = 1 THEN 'Crawl-delay: fast'
              ELSE '' END,
@@ -757,6 +758,7 @@ def q28_embed_near_dup(spark, sf_dir):
       SELECT host, pos,
         CASE WHEN lower(line) LIKE 'user-agent:%' THEN 'ua'
              WHEN lower(line) LIKE 'disallow:%' THEN 'dis'
+             WHEN lower(line) LIKE 'allow:%' THEN 'allow'
              WHEN lower(line) LIKE 'crawl-delay:%' THEN 'delay'
              ELSE 'other' END AS kind,
         trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS value
@@ -777,9 +779,10 @@ def q28_embed_near_dup(spark, sf_dir):
     rules AS (
       SELECT g.* FROM grouped g SEMI JOIN star s
         ON g.host = s.host AND g.grp = s.grp
-      WHERE g.kind IN ('dis', 'delay') AND g.grp > 0)
+      WHERE g.kind IN ('dis', 'allow', 'delay') AND g.grp > 0)
     SELECT host,
       array_to_string(list(value ORDER BY pos) FILTER (kind = 'dis' AND value <> ''), '|') AS disallow_str,
+      array_to_string(list(value ORDER BY pos) FILTER (kind = 'allow' AND value <> ''), '|') AS allow_str,
       TRY_CAST(min_by(value, pos) FILTER (kind = 'delay') AS DOUBLE) AS crawl_delay
     FROM rules GROUP BY host
     """,
@@ -805,6 +808,7 @@ def q65_robots_parse(spark, sf_dir):
             F.concat(F.lit("Disallow: /a"), k.cast("string"))
         ),
         F.lit("Disallow: /private # comment"),
+        F.concat(F.lit("Allow: /private/ok-"), k.cast("string")),
         F.when(k % 3 == 0, F.concat(F.lit("Crawl-delay: "), (k + 1).cast("string")))
         .when(k % 3 == 1, F.lit("Crawl-delay: fast"))
         .otherwise(F.lit("")),
@@ -817,6 +821,7 @@ def q65_robots_parse(spark, sf_dir):
     return rules.select(
         "host",
         F.concat_ws("|", F.col("disallow")).alias("disallow_str"),
+        F.concat_ws("|", F.col("allow")).alias("allow_str"),
         "crawl_delay",
     )
 
