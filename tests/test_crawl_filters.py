@@ -360,3 +360,33 @@ def test_robots_longest_match_allow_precedence(spark):
     )
     out = {r["url"] for r in apply_url_filters(f, robots=rules).collect()}
     assert out == {"https://a.x/private/ok/1", "https://a.x/open"}
+
+
+def test_robots_wildcard_matching(spark):
+    """Wildcard variant: '*' any-run, final '$' end anchor, regex
+    metacharacters in patterns stay literal; longest pattern wins,
+    Allow wins ties."""
+    from web_scraper_spark.crawl.robots import robots_allowed_wildcard
+
+    cases = [
+        ("/fish/salmon.php", ["/fish*.php$"], [], False),   # * + $ match
+        ("/fish/salmon.php3", ["/fish*.php$"], [], True),   # $ anchors
+        ("/a/x/b/c", ["/a/*/b"], [], False),                # mid wildcard
+        ("/a.b/c", ["/a.b"], [], False),                    # '.' literal
+        ("/axb/c", ["/a.b"], [], True),                     # '.' NOT regex-any
+        ("/p/q", ["/p*"], ["/p/q$"], True),                 # allow longer
+        ("/p/qq", ["/p*"], ["/p/q$"], False),               # $ stops allow
+        ("/free", ["/x*"], [], True),                       # no match
+    ]
+    df = spark.createDataFrame(
+        [(p, d, a, e) for p, d, a, e in cases],
+        "path string, disallow array<string>, allow array<string>, expected boolean",
+    )
+    got = df.select(
+        "path", "expected",
+        robots_allowed_wildcard(
+            F.col("path"), F.col("disallow"), F.col("allow")
+        ).alias("ok"),
+    ).collect()
+    for r in got:
+        assert r["ok"] == r["expected"], r["path"]

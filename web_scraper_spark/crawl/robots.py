@@ -20,7 +20,9 @@ group, rules before any User-agent line are ignored, empty
 Disallow/Allow values are ignored, first Crawl-delay in an applicable
 group wins. Allow lines participate via :func:`robots_allowed`
 (longest prefix match wins, Allow wins ties). Wildcard patterns
-('*'/'$') are out of scope — the whole filter chain is prefix-based.
+('*' any-run, final '$' anchor) are supported by
+:func:`robots_allowed_wildcard`; the prefix variant stays the
+10^10-URL hot-path default (non-literal regexes are per-pair work).
 """
 
 from __future__ import annotations
@@ -115,6 +117,40 @@ def robots_allowed(path, disallow, allow):
             F.lit(-1),
             lambda acc, p: F.greatest(
                 acc, F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1))
+            ),
+        )
+
+    return best(allow) >= best(disallow)
+
+
+def _pattern_regex(p):
+    """robots pattern → anchored regex, in-expression: '*' matches any
+    run, a FINAL '$' anchors the end, everything else is literal."""
+    ends = p.endswith("$")
+    core = F.when(ends, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(core, r"([.^$+?()\[\]{}|\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), wild, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_allowed_wildcard(path, disallow, allow):
+    """RFC 9309 longest-match precedence WITH wildcard patterns
+    ('*' any-run, final '$' end-anchor). Correctness-complete variant
+    of :func:`robots_allowed`; costlier — every (path, pattern) pair
+    evaluates a non-literal regex, so prefer the prefix variant on the
+    10^10-URL hot path and reserve this for hosts whose rules actually
+    contain wildcards (filter on ``array_contains``-style predicates
+    upstream if needed)."""
+
+    def best(patterns):
+        return F.aggregate(
+            F.coalesce(patterns, F.array().cast("array<string>")),
+            F.lit(-1),
+            lambda acc, p: F.greatest(
+                acc,
+                F.when(
+                    F.rlike(path, _pattern_regex(p)), F.length(p)
+                ).otherwise(F.lit(-1)),
             ),
         )
 
