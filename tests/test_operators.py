@@ -321,3 +321,39 @@ def test_global_sentence_dedup_semantics(spark):
     out2 = {r["id"]: r["clean_text"] for r in
             global_sentence_dedup(df2, "text", "id").collect()}
     assert out2[2] == "y"
+
+
+def test_deterministic_sample_properties(spark):
+    from web_scraper_spark.operators.relational import deterministic_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 100_000).collect()}
+    # identical selection under different partitioning
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(13), "doc_id", 100_000).collect()
+    }
+    assert s1 == s2 and s1
+    # rate roughly honored (10% of 500 ± binomial noise)
+    assert 25 <= len(s1) <= 80
+    # a larger rate is a superset (bucket ranges nest)
+    s3 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 300_000).collect()}
+    assert s1 <= s3
+    # a different salt draws an (almost surely) different sample
+    s4 = {
+        r["doc_id"]
+        for r in deterministic_sample(d, "doc_id", 100_000, salt="fold2").collect()
+    }
+    assert s4 != s1
+
+
+def test_unigram_surprisal_ordering(spark):
+    """Documents made of corpus-rare tokens must score strictly higher
+    mean surprisal than documents of corpus-common tokens."""
+    from web_scraper_spark.operators.text import unigram_surprisal
+
+    rows = [(i, "common words repeated " * 5) for i in range(20)]
+    rows.append((100, "zyzzyva qwertyuiop xylophone"))
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r["mean_deciban"] for r in unigram_surprisal(df, "text", "id").collect()}
+    assert out[100] > out[0]

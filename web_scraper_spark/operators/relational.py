@@ -168,3 +168,28 @@ def combined_document(
             ),
         ).alias("combined")
     )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate_ppm: int, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5-derived bucket
+    (out of 10^6) falls below ``rate_ppm``. This — not rand() — is how
+    a 100 TB corpus gets subsampled reproducibly: the same rows are
+    selected at any parallelism, on any engine, across reruns, and
+    non-overlapping bucket ranges give disjoint folds. Pure expression
+    (no shuffle, no RNG state); the q67 oracle recomputes the buckets
+    bit-for-bit in SQL. Change ``salt`` for an independent sample."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return df.withColumn("_sample_bucket", bucket).filter(
+        F.col("_sample_bucket") < rate_ppm
+    ).drop("_sample_bucket")

@@ -173,6 +173,42 @@ def top_ngram_share(df, text_col: str, id_col: str, n: int = 2):
     )
 
 
+def unigram_surprisal(df, text_col: str, id_col: str):
+    """CCNet-style LM quality signal: mean per-token surprisal of each
+    document against the CORPUS'S OWN unigram distribution — gibberish
+    and rare-token soup score high, boilerplate scores low.
+
+    Engine-portability trick: per-token surprisal is quantized to
+    integer DECIBANS (round(−10·log10(count/total))) before summing —
+    integer sums are order-independent, so the oracle hash-matches no
+    matter how either engine schedules the aggregation.
+
+    Scale shape: one explode + one (token) groupBy for the counts, a
+    broadcast of the 1-row total, one broadcast-joinable counts table
+    (token vocabulary ≪ corpus), one (id) groupBy for the fold.
+    Returns (id, n_tokens, mean_deciban)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.round(-10 * F.log10(F.col("c") / F.col("t"))).cast("int").alias("db"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("db").cast("double") / F.count("*"), 4).alias("mean_deciban"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over the normalized text — the
     content-identity key used by exact dedup and the URL-seen family

@@ -1050,6 +1050,67 @@ def q59_repetition(spark, sf_dir):
 
 
 # =====================================================================
+# CCNet-style LM quality: mean per-token surprisal vs the corpus's
+# own unigram distribution (integer decibans — order-independent).
+# =====================================================================
+@query(
+    "q66_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+    scored AS (
+      SELECT doc_id, CAST(round(-10 * log10(c / t)) AS INT) AS db
+      FROM toks JOIN cnt USING (tok), tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(db) AS DOUBLE) / count(*), 4) AS mean_deciban
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q66_unigram_surprisal(spark, sf_dir):
+    """Per-document mean token surprisal against the corpus unigram
+    LM, quantized to integer decibans per token so the aggregate is
+    order-independent and hash-stable across engines."""
+    d = _load(spark, sf_dir, "documents")
+    out = TX.unigram_surprisal(d, "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "mean_deciban")
+
+
+# =====================================================================
+# Deterministic hash sampling (reproducible corpus subsampling).
+# =====================================================================
+def _bucket_sql(key: str, salt: str) -> str:
+    h = f"md5('{salt}:' || CAST({key} AS VARCHAR))"
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({hex8}) % 1000000)"
+
+
+@query(
+    "q67_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 'sample')} < 100000
+    """,
+)
+def q67_hash_sample(spark, sf_dir):
+    """10% deterministic sample of documents (md5-bucket < 100000 ppm)
+    — same rows at any parallelism, on any engine; the oracle
+    recomputes the buckets bit-for-bit."""
+    from ..operators.relational import deterministic_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 100_000).select("doc_id", "lang")
+
+
+# =====================================================================
 # PII detection + redaction (pretraining scrub).
 # =====================================================================
 @query(
