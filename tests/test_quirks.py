@@ -67,3 +67,33 @@ def test_q10_duplicate_image_remap_by_hash(spark):
     assert any(r["copies"] >= 3 for r in rows)  # dups existed
     # winner is the min id of its group
     assert all(r["media_id"] % 3 == 0 or r["copies"] == 1 for r in rows)
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Multimodal resize/frame-sample plumbing: schemas, per-kind
+    behavior, fan-out multiplicity, determinism under repartition
+    (decode is the documented deterministic fake)."""
+    from web_scraper_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30).repartition(4)
+    rs = resize_media(media, 224, 224).collect()
+    by_kind = {}
+    for r in rs:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(r["width"] == 224 and r["height"] == 224 for r in by_kind["image"])
+    assert all(r["width"] is None for r in by_kind["audio"])
+    # non-image payloads pass through unchanged
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in by_kind["video"])
+    assert all(bytes(r["payload"]) != orig[r["media_id"]] for r in by_kind["image"])
+
+    frames = sample_frames(media, every_n=2)
+    rows = frames.collect()
+    assert rows and all(r["frame_idx"] % 2 == 0 for r in rows)
+    # deterministic under different partitioning
+    again = sample_frames(synth_media(spark, 30).repartition(7), every_n=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))

@@ -1321,6 +1321,39 @@ def q54_media_features(spark, sf_dir):
 
 
 # =====================================================================
+# Multimodal frame sampling (UDTF shape: one video row → N frame rows)
+# =====================================================================
+@query(
+    "q68_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT g AS media_id,
+             CASE g % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             repeat(md5('42:' || CAST(g // 3 AS VARCHAR)), 1 + (g // 3) % 5) AS payload
+      FROM range(300) t(g)),
+    v AS (
+      SELECT media_id, payload,
+             1 + ((strpos('0123456789abcdef', substr(md5(payload), 5, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(payload), 6, 1)) - 1)) % 8 AS nf
+      FROM m WHERE kind = 'video'),
+    f AS (SELECT media_id, payload, unnest(range(0, nf, 2)) AS frame_idx FROM v)
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(payload || ':frame:' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+    FROM f
+    """,
+)
+def q68_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: every 2nd frame of each synthetic
+    video (frame count from the deterministic fake decode). The
+    oracle reproduces the per-video fan-out AND the content-derived
+    frame hashes bit-for-bit."""
+    from ..operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 300).repartition(16)
+    return sample_frames(media, every_n=2)
+
+
+# =====================================================================
 # Video star-schema pipeline (E3/D6 — rows-only: star tables are
 # engine-synthesized, not driver-registered).
 # =====================================================================
