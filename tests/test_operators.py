@@ -357,3 +357,22 @@ def test_unigram_surprisal_ordering(spark):
     df = spark.createDataFrame(rows, "id int, text string")
     out = {r["id"]: r["mean_deciban"] for r in unigram_surprisal(df, "text", "id").collect()}
     assert out[100] > out[0]
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation: a 10-edge chain (diameter 10) converges
+    to one component labeled by its min id; disjoint pairs stay
+    separate; non-convergence raises."""
+    from web_scraper_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10)]          # 0-1-2-...-10
+    pair = [(100, 101)]
+    tri = [(200, 201), (201, 202), (200, 202)]
+    df = spark.createDataFrame(chain + pair + tri, "id_a int, id_b int")
+    out = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(out[i] == 0 for i in range(11))
+    assert out[100] == out[101] == 100
+    assert out[200] == out[201] == out[202] == 200
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        connected_components(df, max_iterations=2)

@@ -478,3 +478,75 @@ def simhash32_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             )
         )
     return votes.select("id", fp.alias("fp"))
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup pair edges → clusters: (id, component) where component
+    is the MIN id in the connected component — the fuzzy-dedup
+    capstone (keep the row with id == component, drop the rest).
+
+    Min-label propagation: each iteration joins labels to the
+    symmetric edge set and takes the neighborhood min — one shuffle
+    per iteration, converging in ≤ graph-diameter iterations (near-dup
+    components are shallow; the loop is driver-controlled with an
+    early-exit convergence check, so at 100 TB each iteration is one
+    bounded join+agg, never a collect of the graph). Vertices are
+    edge-induced; callers union isolated ids as their own components
+    if needed. Raises if not converged within ``max_iterations``.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iterations):
+            nbr_min = (
+                sym.join(labels, sym["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            # localCheckpoint, not persist: each iteration's plan is
+            # built on the previous one — without lineage truncation
+            # the plan tree grows per iteration until codegen/driver
+            # memory blows up (observed at ~10 iterations). On a real
+            # cluster use reliable checkpoint() for fault tolerance.
+            new_labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    finally:
+        sym.unpersist()

@@ -1081,6 +1081,46 @@ def q66_unigram_surprisal(spark, sf_dir):
 
 
 # =====================================================================
+# Fuzzy-dedup capstone: near-dup pairs → connected components.
+# =====================================================================
+@query(
+    "q69_components",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    reach AS (
+      SELECT v AS src, v AS dst FROM verts
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst)
+    SELECT src AS id, min(dst) AS component,
+           CAST(src = min(dst) AS BOOLEAN) AS keep
+    FROM reach GROUP BY src
+    """,
+)
+def q69_components(spark, sf_dir):
+    """Near-dup pairs (q28's label-bucketed embedding edges) clustered
+    into connected components via min-label propagation; keep =
+    (id == component) is the fuzzy-dedup survivor flag. The oracle
+    computes the same components with a recursive reachability CTE."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.35, bucket_col="label"
+    )
+    comps = D.connected_components(pairs)
+    return comps.select(
+        "id", "component", (F.col("id") == F.col("component")).alias("keep")
+    )
+
+
+# =====================================================================
 # Deterministic hash sampling (reproducible corpus subsampling).
 # =====================================================================
 def _bucket_sql(key: str, salt: str) -> str:
