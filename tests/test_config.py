@@ -45,6 +45,18 @@ def test_backward_compat_print_to_console(tmp_path):
     assert load_config(p)["output"]["destination"] == "file"
 
 
+def test_empty_yaml_sections_normalized(tmp_path):
+    """A YAML file with bare section headers ('output:') parses those
+    sections to None — load_config must treat them as empty dicts and
+    fill in the defaults instead of raising TypeError."""
+    p = str(tmp_path / "config.yaml")
+    with open(p, "w") as fh:
+        fh.write("output:\nscraping:\n")
+    cfg = load_config(p)
+    assert cfg["output"]["destination"] == DEFAULT_CONFIG["output"]["destination"]
+    assert cfg["scraping"]["mode"] == "basic"
+
+
 def test_update_config_round_trip(tmp_path):
     p = str(tmp_path / "config.yaml")
     update_config("scraping", "mode", "super", p)

@@ -73,6 +73,38 @@ def test_lsh_recall_against_exact(spark):
     assert via_lsh <= exact  # LSH-verified pairs are always true pairs
 
 
+def test_jaccard_doc_freq_cap_drops_hot_token(spark):
+    """max_doc_freq guards the inverted-index quadratic: a stopword
+    shared by EVERY document must not join the corpus against itself.
+    Docs related only through the hot token lose their pair; docs that
+    agree on rare tokens keep theirs (Jaccard over the capped
+    vocabulary)."""
+    rows = [
+        (0, "the apple banana"),
+        (1, "the apple banana"),
+        (2, "the cherry"),
+        (5, "the"),
+        (6, "the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    # 'the'-only docs are exact duplicates without the cap, and the
+    # hot token alone links 'the cherry' to them at exactly 0.5
+    assert uncapped == {(0, 1): 1.0, (5, 6): 1.0, (2, 5): 0.5, (2, 6): 0.5}
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, max_doc_freq=4
+        ).collect()
+    }
+    # df('the') = 5 > 4 → its posting list never enters the join:
+    # (5,6) disappears, (0,1) survives on {apple, banana} alone
+    assert capped == {(0, 1): 1.0}
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
@@ -215,6 +247,8 @@ def test_canonical_url_semantics_and_idempotence(spark):
         "http://h.x": "http://h.x/",
         # non-default port kept
         "http://h.x:8080/p": "http://h.x:8080/p",
+        # empty params ('&&', trailing '&') dropped, not kept as ''
+        "http://h.x/p?a=1&&b=2&": "http://h.x/p?a=1&b=2",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {
@@ -360,9 +394,9 @@ def test_unigram_surprisal_ordering(spark):
 
 
 def test_connected_components_chain_and_isolates(spark):
-    """Min-label propagation: a 10-edge chain (diameter 10) converges
-    to one component labeled by its min id; disjoint pairs stay
-    separate; non-convergence raises."""
+    """Large-star/small-star: a chain converges to one component
+    labeled by its min id; disjoint pairs stay separate;
+    non-convergence raises."""
     from web_scraper_spark.operators.dedup import connected_components
 
     chain = [(i, i + 1) for i in range(10)]          # 0-1-2-...-10
@@ -375,4 +409,23 @@ def test_connected_components_chain_and_isolates(spark):
     assert out[200] == out[201] == out[202] == 200
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
-        connected_components(df, max_iterations=2)
+        connected_components(df, max_iterations=1)
+
+
+def test_connected_components_log_iterations_on_long_chain(spark):
+    """The two-phase star scheme converges in O(log n) iterations, not
+    graph-diameter: a 128-edge chain (diameter 128 — plain min-label
+    propagation would need 128 rounds) must finish in ≤ 10."""
+    from web_scraper_spark.operators.dedup import connected_components
+
+    n = 128
+    chain = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(chain, "id_a int, id_b int")
+    stats: dict = {}
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iterations=12, stats_out=stats).collect()
+    }
+    assert len(out) == n + 1
+    assert all(out[i] == 0 for i in range(n + 1))
+    assert stats["iterations"] <= 10, stats

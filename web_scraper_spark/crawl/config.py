@@ -71,6 +71,11 @@ def load_config(path: str) -> dict:
 
     with open(path) as fh:
         config = yaml.safe_load(fh) or {}
+    # an empty YAML section ('output:') parses to None — normalize to {}
+    # so the legacy rewrite and defaults merge below can index into it
+    for section in list(config):
+        if config[section] is None:
+            config[section] = {}
 
     # backward compat: old configs carried output.print_to_console
     # (bool); rewrite it into the destination enum unless the new key

@@ -62,7 +62,6 @@ def parse_robots(
         F.trim(F.try_element_at(F.split(F.col("line"), ":", 2), F.lit(2))).alias("value"),
     )
     w = Window.partitionBy("host").orderBy("pos")
-    is_ua = (F.col("kind") == "ua").cast("int")
     block_start = (
         (F.col("kind") == "ua")
         & (F.coalesce(F.lag("kind").over(w), F.lit("other")) != "ua")
@@ -70,7 +69,7 @@ def parse_robots(
     grouped = classified.withColumn(
         "grp",
         F.sum(block_start).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    ).withColumn("_is_ua", is_ua)
+    )
     star_groups = (
         grouped.filter((F.col("kind") == "ua") & (F.col("value") == agent))
         .select("host", "grp")

@@ -203,7 +203,9 @@ def canonical_url(url: Column) -> Column:
     )
     query = F.parse_url(url, F.lit("QUERY"))
     params = F.array_sort(
-        F.filter(F.split(query, "&"), lambda p: ~p.startswith("utm_"))
+        # drop empty params too ('a=1&&b=2', trailing '&') — they would
+        # otherwise survive as '?&a=1' and weaken the dedup key
+        F.filter(F.split(query, "&"), lambda p: (p != "") & ~p.startswith("utm_"))
     )
     qpart = F.when(
         query.isNotNull() & (F.size(params) > 0),

@@ -152,12 +152,21 @@ def minhash_lsh_candidates(
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if max_bucket_size is not None:
+        # materialize the candidate set (lineage-truncating local
+        # checkpoint) so the persisted banded keys can be released HERE
+        # rather than leaking cached partitions across repeated calls
+        # in one session (round-2 advice). On a real cluster swap for
+        # reliable checkpoint() if fault tolerance matters.
+        pairs = pairs.localCheckpoint()
+        banded.unpersist()
+    return pairs
 
 
 def jaccard_pairs(
@@ -167,13 +176,30 @@ def jaccard_pairs(
     threshold: float,
     shingle_n: int = 1,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs ≥ threshold.
 
     With ``candidates`` (e.g. from LSH) the exact check runs only on
     those pairs (broadcast-friendly). Without, it builds an inverted
     shingle index (explode → self-join on shingle → count commons):
-    |A∩B| from the index, |A∪B| = |A|+|B|−|A∩B|. Never a cross join.
+    |A∩B| from the index, |A∪B| = |A|+|B|−|A∩B|.
+
+    The inverted-index branch is quadratic in a token's posting-list
+    length: a shingle shared by N documents contributes N² rows to the
+    `tok` join — one corpus-wide stopword makes the join all-pairs
+    (the same pathology ``max_bucket_size`` guards in
+    :func:`minhash_lsh_candidates`). ``max_doc_freq`` is the guard:
+    posting lists with document frequency > the cap are dropped
+    BEFORE the join, and similarity is then computed over the
+    df-capped vocabulary (per-document sizes are recounted from the
+    surviving postings, so the Jaccard value stays a true Jaccard —
+    of the filtered shingle sets, df-pruning as in tf-idf). The drop
+    is not silent: dropped token/posting counts are computed eagerly
+    and logged at WARNING. Without a cap and without ``candidates``
+    the join is exact over the full vocabulary but only safe for
+    corpora with bounded document frequencies — pass one of the two
+    at scale.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -192,7 +218,7 @@ def jaccard_pairs(
             )
             .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         )
-    else:
+    elif max_doc_freq is None:
         inv = sh.select("id", "n_sh", F.explode("sh").alias("tok"))
         a = inv.alias("a")
         b = inv.alias("b")
@@ -207,12 +233,53 @@ def jaccard_pairs(
             )
             .agg(F.count("*").alias("common"))
         )
+    else:
+        # df-capped inverted index. persist: the hot-token scan, the
+        # size recount, and the pair join all consume the postings.
+        inv = sh.select("id", F.explode("sh").alias("tok")).persist()
+        hot = (
+            inv.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+        )
+        stats = hot.agg(
+            F.count("*").alias("n_toks"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("n_postings"),
+        ).collect()[0]
+        if stats["n_toks"]:
+            _LOG.warning(
+                "jaccard_pairs: dropping %d hot tokens (%d postings) with "
+                "document frequency > %d — similarity is over the df-capped "
+                "vocabulary",
+                stats["n_toks"], stats["n_postings"], max_doc_freq,
+            )
+        kept = inv.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
+        sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
+        a = kept.alias("a")
+        b = kept.alias("b")
+        # sizes join AFTER the pair aggregate: the heavy tok-join never
+        # carries the width, and the (much smaller) pair set picks up
+        # na/nb from one row per doc.
+        pairs = (
+            a.join(b, "tok")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("common"))
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if candidates is None and max_doc_freq is not None:
+        # materialize so the persisted postings can be released here
+        # (same leak-avoidance pattern as minhash_lsh_candidates)
+        out = out.localCheckpoint()
+        inv.unpersist()
+    return out
 
 
 def simhash64(col: Column, shingle_n: int = 1) -> Column:
@@ -480,73 +547,107 @@ def simhash32_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select("id", fp.alias("fp"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over canonically-oriented edges (a > b):
+    for each node u, attach every strictly-larger neighbor to
+    min(Γ(u) ∪ {u}). Output keeps the (big, small) orientation."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: key each edge by its larger endpoint u
+    (so Γ(u) holds only smaller nodes), then point u and all of Γ(u)
+    except the minimum at min(Γ(u))."""
+    mins = e.groupBy("a").agg(F.min("b").alias("mn"))
+    relinked = (
+        e.join(mins, "a")
+        .filter(F.col("b") != F.col("mn"))
+        .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+    )
+    anchors = mins.select(F.col("a"), F.col("mn").alias("b"))
+    return relinked.unionByName(anchors).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pair edges → clusters: (id, component) where component
     is the MIN id in the connected component — the fuzzy-dedup
     capstone (keep the row with id == component, drop the rest).
 
-    Min-label propagation: each iteration joins labels to the
-    symmetric edge set and takes the neighborhood min — one shuffle
-    per iteration, converging in ≤ graph-diameter iterations (near-dup
-    components are shallow; the loop is driver-controlled with an
-    early-exit convergence check, so at 100 TB each iteration is one
-    bounded join+agg, never a collect of the graph). Vertices are
-    edge-induced; callers union isolated ids as their own components
-    if needed. Raises if not converged within ``max_iterations``.
+    Alternating large-star/small-star (the two-phase MapReduce
+    connected-components scheme of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each iteration is
+    two groupBy-min + co-partitioned join-back rounds over the edge
+    set, and the edge set contracts toward a star forest pointing at
+    each component's minimum in O(log n) iterations — vs
+    graph-DIAMETER iterations for plain min-label propagation (a
+    10^6-long chain converges in ~20 rounds, not 10^6). Lineage is
+    truncated per iteration with localCheckpoint (use reliable
+    checkpoint() on a real cluster for fault tolerance); nothing is
+    ever collected to the driver. Convergence is detected from a
+    (count, xor-of-edge-hashes) signature over the already-
+    materialized iterate — no recomputation — and then CONFIRMED with
+    one exact set-difference check, so a 2^-64 signature collision
+    costs an extra iteration rather than a wrong answer.
+
+    Vertices are edge-induced; callers union isolated ids as their own
+    components if needed. ``stats_out`` (optional dict) receives
+    {"iterations": n} for observability/regression tests. Raises if
+    not converged within ``max_iterations``.
     """
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    e = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
+            F.least(F.col(a_col), F.col(b_col)).alias("b"),
         )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
-    )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    try:
-        for _ in range(max_iterations):
-            nbr_min = (
-                sym.join(labels, sym["dst"] == labels["id"])
-                .groupBy("src")
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            # localCheckpoint, not persist: each iteration's plan is
-            # built on the previous one — without lineage truncation
-            # the plan tree grows per iteration until codegen/driver
-            # memory blows up (observed at ~10 iterations). On a real
-            # cluster use reliable checkpoint() for fault tolerance.
-            new_labels = (
-                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component")),
-                    ).alias("component"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                return labels
+
+    def signature(d: DataFrame):
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
+    sig = signature(e)
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = signature(new_e)
+        if new_sig == sig:
+            # exact confirmation over the two materialized iterates
+            if new_e.exceptAll(e).limit(1).count() == 0:
+                e = new_e
+                break
+        sig = new_sig
+        e = new_e
+    else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )
-    finally:
-        sym.unpersist()
+    if stats_out is not None:
+        stats_out["iterations"] = iterations
+    # fixpoint edges are (member, component-min) stars; the minima
+    # themselves label their own component
+    members = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
+    return members.unionByName(roots)
