@@ -834,10 +834,10 @@ def q65_robots_parse(spark, sf_dir):
     "q64_kmeans_refine",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    dims AS (SELECT label, i, avg(v[i]) AS m
-             FROM e, generate_series(1, 64) AS t(i) GROUP BY label, i),
-    cent AS (SELECT label AS cid, list(m ORDER BY i) AS cv FROM dims GROUP BY label),
-    assigned AS (
+    dims0 AS (SELECT label, i, avg(v[i]) AS m
+              FROM e, generate_series(1, 64) AS t(i) GROUP BY label, i),
+    c0 AS (SELECT label AS cid, list(m ORDER BY i) AS cv FROM dims0 GROUP BY label),
+    a1 AS (
       SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (
@@ -845,22 +845,36 @@ def q65_robots_parse(spark, sf_dir):
                  ORDER BY list_dot_product(e.v, c.cv) /
                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                           c.cid ASC) AS rn
-        FROM e, cent c) WHERE rn = 1),
-    newdims AS (
+        FROM e, c0 c) WHERE rn = 1),
+    dims1 AS (SELECT cid, i, avg(v[i]) AS m
+              FROM a1, generate_series(1, 64) AS t(i) GROUP BY cid, i),
+    c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM dims1 GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) /
+                          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cid ASC) AS rn
+        FROM e, c1 c) WHERE rn = 1),
+    dims2 AS (
       SELECT cid, i, avg(v[i]) AS m
-      FROM assigned, generate_series(1, 64) AS t(i) GROUP BY cid, i)
+      FROM a2, generate_series(1, 64) AS t(i) GROUP BY cid, i)
     SELECT cid AS centroid_id, CAST(i AS INT) AS dim, round(m, 6) AS m
-    FROM newdims
+    FROM dims2
     """,
 )
 def q64_kmeans_refine(spark, sf_dir):
-    """IVF index build with one Lloyd refinement iteration: label-mean
-    seeds → nearest-centroid reassignment → recomputed means. The
-    oracle recomputes the full iteration (assignment argmax with the
-    same centroid-id tie-break, then per-(cluster, dim) means)."""
+    """IVF index build with TWO Lloyd refinement iterations: label-mean
+    seeds → assign → means → re-assign against the refined centroids →
+    means again. The oracle re-derives both iterations (assignment
+    argmax with the same lowest-centroid-id tie-break each round, then
+    per-(cluster, dim) means), so the engine's multi-iteration loop —
+    not just one step — is value-checked."""
     emb = _load(spark, sf_dir, "embeddings")
     seeds = S.label_centroids(emb, "embedding", "label")
-    refined = S.kmeans_refine(emb, "embedding", "vec_id", seeds, iterations=1)
+    refined = S.kmeans_refine(emb, "embedding", "vec_id", seeds, iterations=2)
     return refined.select(
         "centroid_id",
         F.posexplode("centroid").alias("pos", "x"),
@@ -1282,6 +1296,54 @@ def q52_minhash_lsh(spark, sf_dir):
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     cands = D.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=16, bands=8)
     return D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, candidates=cands)
+
+
+# =====================================================================
+# Fuzzy-dedup capstone COMPOSITION: the full pipeline a production
+# 100-TB dedup run executes, as one gate entry.
+# =====================================================================
+@query(
+    "q70_fuzzy_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_LSH_ORACLE})),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    reach AS (
+      SELECT v AS src, v AS dst FROM verts
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BOOLEAN) AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def q70_fuzzy_dedup_pipeline(spark, sf_dir):
+    """End-to-end fuzzy dedup: MinHash-LSH candidates (q52) → exact
+    Jaccard verify on candidates only (q17) → connected components
+    over the verified pairs (q69) → per-component survivor election
+    over the WHOLE corpus slice (keep = doc is its component's min id;
+    docs in no near-dup pair are their own singleton component and
+    keep themselves). The oracle composes the pieces' SQL the same
+    way: the q52 banding+verify query feeds a recursive reachability
+    CTE, left-joined back onto the corpus."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cands = D.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=16, bands=8)
+    pairs = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, candidates=cands)
+    comps = D.connected_components(pairs)
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        d.select("doc_id")
+        .join(comps, F.col("doc_id") == comps["id"], "left")
+        .select(
+            "doc_id",
+            comp.alias("component"),
+            (F.col("doc_id") == comp).alias("keep"),
+        )
+    )
 
 
 _IVF_ORACLE = """
