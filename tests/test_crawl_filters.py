@@ -53,6 +53,42 @@ def test_probe_seen_no_false_negatives(spark):
     assert got == set(all_urls[120:])  # exactly the unseen remainder
 
 
+def test_probe_seen_broadcast_budget(spark):
+    """A misconfigured shard geometry must fail fast with a sizing
+    hint, not silently broadcast gigabytes to every task."""
+    import pytest
+
+    urls = [f"https://h.x/p{i}" for i in range(50)]
+    seen_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    shards = build_seen_shards(seen_df, 2, round_id=0).localCheckpoint()
+    cand = seeds_to_frontier(spark, urls)
+    with pytest.raises(ValueError, match="broadcast"):
+        probe_seen(cand, shards, seen_df, 2, max_broadcast_bytes=16)
+
+
+def test_bloom_vectorized_no_false_negatives_and_scalar_agreement():
+    """The numpy i64 path: everything added must probe positive (no
+    false negatives), and unadded keys are mostly negative."""
+    import numpy as np
+
+    from web_scraper_spark.crawl.bloom import BloomShard
+
+    rng = np.random.RandomState(7)
+    added_h1 = rng.randint(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    added_h2 = rng.randint(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    other_h1 = rng.randint(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    other_h2 = rng.randint(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    s = BloomShard.sized_for(5000, 1e-4)
+    s.add_many_i64(added_h1, added_h2)
+    assert s.n_items == 5000
+    assert s.contains_many_i64(added_h1, added_h2).all()
+    fp = s.contains_many_i64(other_h1, other_h2).sum()
+    assert fp <= 10  # 1e-4 nominal; generous slack
+    # serialization round-trip preserves the vectorized bits
+    s2 = BloomShard.from_bytes(s.to_bytes())
+    assert s2.contains_many_i64(added_h1, added_h2).all()
+
+
 def test_crawl_with_robots_and_ignore_matches_simulator(spark, tmp_path):
     n = 48
     pages = pages_df(spark, n)

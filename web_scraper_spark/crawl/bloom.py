@@ -60,6 +60,48 @@ class BloomShard:
     def __contains__(self, url: str) -> bool:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(url))
 
+    # -- vectorized (numpy) path over PRECOMPUTED 64-bit hash pairs ------
+    #
+    # The crawl frontier computes (h1, h2) JVM-side (xxhash64 with
+    # distinct salts, whole-stage codegen) and ships them through Arrow
+    # as int64 columns; the Python side then only does numpy bit
+    # arithmetic — no per-URL Python hashing on the probe/build hot
+    # path. NOTE: this is a DIFFERENT hash family from the scalar
+    # add()/__contains__ (blake2b) — feed and probe any one shard
+    # through exactly one family. Both families share the no-false-
+    # negative property; Kirsch-Mitzenmacher double hashing with h2
+    # forced odd. Reducing h1, h2 mod n_bits BEFORE the k-loop keeps
+    # every intermediate < 17·n_bits « 2^64, so uint64 arithmetic is
+    # exact and positions match the unbounded-int formula.
+
+    def add_many_i64(self, h1, h2) -> None:
+        import numpy as np
+
+        h1 = np.asarray(h1, dtype=np.int64).view(np.uint64) % np.uint64(self.n_bits)
+        h2 = (np.asarray(h2, dtype=np.int64).view(np.uint64) | np.uint64(1)) % np.uint64(self.n_bits)
+        bits = np.frombuffer(self.bits, dtype=np.uint8)
+        for k in range(self.n_hashes):
+            pos = (h1 + np.uint64(k) * h2) % np.uint64(self.n_bits)
+            idx = (pos >> np.uint64(3)).astype(np.int64)
+            val = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+            # unbuffered |= — repeated byte indices within one batch
+            # must all land
+            np.bitwise_or.at(bits, idx, val)
+        self.n_items += len(h1)
+
+    def contains_many_i64(self, h1, h2):
+        import numpy as np
+
+        h1 = np.asarray(h1, dtype=np.int64).view(np.uint64) % np.uint64(self.n_bits)
+        h2 = (np.asarray(h2, dtype=np.int64).view(np.uint64) | np.uint64(1)) % np.uint64(self.n_bits)
+        bits = np.frombuffer(self.bits, dtype=np.uint8)
+        out = np.ones(len(h1), dtype=bool)
+        for k in range(self.n_hashes):
+            pos = (h1 + np.uint64(k) * h2) % np.uint64(self.n_bits)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            out &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)).astype(bool)
+        return out
+
     def merge(self, other: "BloomShard") -> "BloomShard":
         if (self.n_bits, self.n_hashes) != (other.n_bits, other.n_hashes):
             raise ValueError("incompatible shard geometry")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import columns as C
-from .bloom import BloomShard, shard_of
+from .bloom import BloomShard
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -105,6 +105,19 @@ def apply_url_filters(
 # URL-seen sketch: build / merge / probe
 # ---------------------------------------------------------------------
 
+def _bloom_hash_cols(url_col) -> tuple:
+    """The sketch's hash family, computed JVM-side: (shard-router, h1,
+    h2) = xxhash64 over the url with distinct literal salts — whole-
+    stage codegen, deterministic across sessions/engines (fixed seed),
+    shipped to Python through Arrow as int64 so the probe/build hot
+    path does ONLY numpy bit arithmetic (BloomShard.*_many_i64)."""
+    return (
+        F.xxhash64(url_col, F.lit("shard")),
+        F.xxhash64(url_col, F.lit("h1")),
+        F.xxhash64(url_col, F.lit("h2")),
+    )
+
+
 def build_seen_shards(
     urls: DataFrame,
     n_shards: int,
@@ -114,25 +127,20 @@ def build_seen_shards(
 ) -> DataFrame:
     """Build Bloom shards from a url column: one shuffle on shard_id,
     one shard row per group (A9). Deterministic for a given row set —
-    idempotent on re-run (OR of the same bits)."""
+    idempotent on re-run (OR of the same bits). Hashing happens in the
+    JVM (:func:`_bloom_hash_cols`); the Python group op is a single
+    vectorized numpy bit-set pass per shard."""
     url_col = urls.columns[0]
-
-    @F.pandas_udf(T.IntegerType())
-    def shard_udf(u: pd.Series) -> pd.Series:
-        # plain list pass (not Series.map) — one Python call per value
-        # with no pandas apply machinery in between
-        return pd.Series(
-            [shard_of(x, n_shards) for x in u.tolist()], dtype="int32"
-        )
-
+    sh, h1, h2 = _bloom_hash_cols(F.col(url_col))
     with_shard = urls.select(
-        F.col(url_col).alias("url"), shard_udf(F.col(url_col)).alias("shard_id")
+        F.pmod(sh, F.lit(n_shards)).cast("int").alias("shard_id"),
+        h1.alias("h1"),
+        h2.alias("h2"),
     )
 
     def build(key, pdf):  # no hints: future-annotations stringifies them and pandas group-ops warns
         shard = BloomShard.sized_for(expected_per_shard, fp_rate)
-        for u in pdf["url"]:
-            shard.add(u)
+        shard.add_many_i64(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
         return pd.DataFrame(
             [
                 {
@@ -177,14 +185,23 @@ def probe_seen(
     n_shards: int,
     unpersist_into: list[DataFrame] | None = None,
     eager: bool = False,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Filter out already-seen URLs.
 
     1. Bloom probe via a broadcast of the (small) serialized shards —
        mapInPandas, no shuffle. Sketch-negative rows are definitively
-       new (no false negatives) and bypass the join.
+       new (no false negatives) and bypass the join. Hashes are
+       computed JVM-side (:func:`_bloom_hash_cols`); the Python side
+       is a vectorized numpy membership test per shard group — no
+       per-URL Python loop.
     2. Exact ``left_anti`` join ONLY for sketch-positive rows — at
        scale this is the rare path (FP rate + true repeats).
+
+    ``max_broadcast_bytes`` fails fast if the collected shard blobs
+    exceed the broadcast budget — a misconfigured
+    n_shards × expected_per_shard × fp_rate must not silently ship
+    gigabytes to every task.
 
     The probe output is persisted (both branches consume it); if the
     caller passes ``unpersist_into``, the cached DataFrame is appended
@@ -207,27 +224,49 @@ def probe_seen(
     shard_rows = seen_shards.collect()
     if not shard_rows:
         return candidates
+    blob_bytes = sum(len(r["sketch"]) for r in shard_rows)
+    if blob_bytes > max_broadcast_bytes:
+        raise ValueError(
+            f"probe_seen: seen-sketch broadcast would be "
+            f"{blob_bytes / 2**20:.0f} MiB across {len(shard_rows)} shards, "
+            f"over the {max_broadcast_bytes / 2**20:.0f} MiB budget — lower "
+            "expected_per_shard or raise fp_rate (bits scale with "
+            "-n·ln(fp)/ln(2)²), or raise max_broadcast_bytes explicitly"
+        )
     blob = {int(r["shard_id"]): bytes(r["sketch"]) for r in shard_rows}
     bc = spark.sparkContext.broadcast(blob)
 
     cols = candidates.columns
     out_schema = T.StructType(candidates.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
+    sh, h1, h2 = _bloom_hash_cols(F.col("url"))
+    with_h = candidates.select(
+        "*",
+        F.pmod(sh, F.lit(n_shards)).cast("int").alias("_shard"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         shards = {sid: BloomShard.from_bytes(raw) for sid, raw in bc.value.items()}
         for pdf in batches:
-            flags = []
-            for u in pdf["url"]:
-                sh = shards.get(shard_of(u, n_shards))
-                flags.append(sh is not None and u in sh)
-            pdf = pdf.copy()
-            pdf["_maybe_seen"] = flags
-            yield pdf
+            sid = pdf["_shard"].to_numpy()
+            hh1 = pdf["_h1"].to_numpy()
+            hh2 = pdf["_h2"].to_numpy()
+            flags = np.zeros(len(pdf), dtype=bool)
+            for s in np.unique(sid):
+                shard = shards.get(int(s))
+                if shard is None:
+                    continue  # no blob for this shard: definitively new
+                m = sid == s
+                flags[m] = shard.contains_many_i64(hh1[m], hh2[m])
+            yield pdf.drop(columns=["_shard", "_h1", "_h2"]).assign(_maybe_seen=flags)
 
     # persist: both the fresh and suspects branches consume `probed` —
     # without the cache, the Python probe AND its whole upstream filter
     # chain execute twice per round (round-1 verdict item 4).
-    probed = candidates.mapInPandas(probe, out_schema).persist()
+    probed = with_h.mapInPandas(probe, out_schema).persist()
     if unpersist_into is not None:
         unpersist_into.append(probed)
     if eager:
