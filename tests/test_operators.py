@@ -149,6 +149,18 @@ def test_simhash_banding_recall_vs_bruteforce(spark):
         f"banding recall broken: missed {sorted(brute - banded)[:5]}, "
         f"extra {sorted(banded - brute)[:5]}"
     )
+    # multi-probe banding (Manku block-subset keys) must recall the
+    # SAME exact pair set — wider effective keys, no recall loss
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(
+            docs, "text", "doc_id", max_hamming=max_h, n_blocks=12
+        ).collect()
+    }
+    assert multi == brute, (
+        f"multi-probe recall broken: missed {sorted(brute - multi)[:5]}, "
+        f"extra {sorted(multi - brute)[:5]}"
+    )
 
 
 def test_lsh_hot_bucket_cap_bounds_join(spark):

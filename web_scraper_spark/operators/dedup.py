@@ -391,24 +391,50 @@ def global_sentence_dedup(
 
 
 def banded_hamming_pairs(
-    fps: DataFrame, n_bits: int, max_hamming: int
+    fps: DataFrame, n_bits: int, max_hamming: int, n_blocks: int | None = None
 ) -> DataFrame:
     """Pairs of (id, fp) rows within Hamming distance ``max_hamming``,
-    via (max_hamming+1)-way block banding (Charikar/Manku pigeonhole):
-    a pair with ≤ ``max_hamming`` differing bits spread over
-    ``max_hamming+1`` disjoint blocks must agree exactly on ≥ 1 block,
-    so the per-(block_idx, block_value) equi-join has PERFECT recall
-    for any ``max_hamming`` < ``n_bits`` — a fixed block count under-
-    recalls silently (round-1 verdict item 2). Shuffles only small
-    block keys; the final ``bit_count`` filter keeps precision exact.
+    via block banding with PERFECT recall (Charikar/Manku pigeonhole).
 
-    Returns (id_a, id_b, hamming) with id_a < id_b.
+    Default (``n_blocks = max_hamming+1``): a pair with ≤
+    ``max_hamming`` differing bits spread over ``max_hamming+1``
+    disjoint blocks must agree exactly on ≥ 1 block, so the
+    per-(block_idx, block_value) equi-join recalls every true pair —
+    a fixed block count under-recalls silently (round-1 verdict
+    item 2).
+
+    Multi-probe (``n_blocks > max_hamming+1``, the Manku WWW'07
+    table scheme): the ≤ ``max_hamming`` differing bits hit at most
+    ``max_hamming`` of the ``n_blocks`` blocks, so the pair agrees on
+    some (``n_blocks − max_hamming``)-subset of blocks — joining on
+    every such subset's concatenated value (hashed to one 64-bit key;
+    equal values always collide, so recall is still perfect — hash
+    collisions only add candidates, which the exact ``bit_count``
+    filter removes) trades C(n_blocks, max_hamming) keys per row for
+    MUCH wider effective keys. E.g. 64 bits, h=3: the default joins
+    on 16-bit keys (buckets of N/2^16 — quadratic pain at 10^9 docs);
+    n_blocks=8 joins 56 keys of ~40 effective bits (buckets of
+    N/2^40). Use the default for small/medium corpora where per-row
+    fan-out dominates; raise n_blocks when bucket sizes do. Keep
+    C(n_blocks, max_hamming) modest (≲ 64): hundreds of key structs
+    overflow the whole-stage-codegen method-size limit and the
+    explode falls back to interpreted evaluation (correct, slower —
+    measured at C(10,6)=210).
+
+    Shuffles only small block keys; the final ``bit_count`` filter
+    keeps precision exact. Returns (id_a, id_b, hamming) with
+    id_a < id_b.
     """
     if not 0 <= max_hamming <= n_bits - 1:
         raise ValueError(
             f"max_hamming must be in [0, {n_bits - 1}], got {max_hamming}"
         )
-    n_blocks = max_hamming + 1
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not max_hamming + 1 <= n_blocks <= n_bits:
+        raise ValueError(
+            f"n_blocks must be in [{max_hamming + 1}, {n_bits}], got {n_blocks}"
+        )
     # nearly-equal contiguous bit spans covering all n_bits bits
     bounds = [round(i * n_bits / n_blocks) for i in range(n_blocks + 1)]
 
@@ -417,20 +443,29 @@ def banded_hamming_pairs(
             return F.col("fp")
         return F.shiftrightunsigned("fp", start).bitwiseAND(F.lit((1 << width) - 1))
 
+    block_exprs = [
+        block_val(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_blocks)
+    ]
+    if n_blocks == max_hamming + 1:
+        keys = [
+            F.struct(F.lit(i).alias("blk"), block_exprs[i].cast("long").alias("val"))
+            for i in range(n_blocks)
+        ]
+    else:
+        from itertools import combinations
+
+        subsets = list(combinations(range(n_blocks), n_blocks - max_hamming))
+        keys = [
+            F.struct(
+                F.lit(ci).alias("blk"),
+                F.xxhash64(F.lit(ci), *[block_exprs[i] for i in subset]).alias("val"),
+            )
+            for ci, subset in enumerate(subsets)
+        ]
     blocks = fps.select(
         "id",
         "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        block_val(bounds[i], bounds[i + 1] - bounds[i]).alias("val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
+        F.explode(F.array(*keys)).alias("b"),
     ).select("id", "fp", "b.blk", "b.val")
     a = blocks.alias("a")
     b = blocks.alias("b")
@@ -454,18 +489,22 @@ def banded_hamming_pairs(
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``
     over the 64-bit xxhash64 family (the fast path; no SQL twin — see
-    :func:`simhash_near_dups_md5` for the oracle-checkable variant)."""
+    :func:`simhash_near_dups_md5` for the oracle-checkable variant).
+    ``n_blocks`` > max_hamming+1 enables the multi-probe banding for
+    huge corpora (see :func:`banded_hamming_pairs`)."""
     return banded_hamming_pairs(
-        simhash64_agg(df, text_col, id_col), 64, max_hamming
+        simhash64_agg(df, text_col, id_col), 64, max_hamming, n_blocks
     )
 
 
 def simhash_near_dups_md5(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs over the 32-bit md5 family — every stage
     (fingerprint AND pair set) is reproducible bit-for-bit in ANSI SQL
@@ -475,7 +514,7 @@ def simhash_near_dups_md5(
     unaffected, but 32/(max_hamming+1)-bit blocks collide more, so the
     candidate join does more (discarded) work."""
     return banded_hamming_pairs(
-        simhash32_md5(df, text_col, id_col), 32, max_hamming
+        simhash32_md5(df, text_col, id_col), 32, max_hamming, n_blocks
     )
 
 

@@ -1791,6 +1791,10 @@ def q51_simhash_near_dup(spark, sf_dir):
     keys); the oracle brute-forces all pairs from the bit-identical
     fingerprint SQL — set equality is exactly the banding's perfect-
     recall guarantee (tested brute-vs-banded in test_operators.py).
-    The xxhash64 fast path keeps its own Spark-internal tests."""
+    The xxhash64 fast path keeps its own Spark-internal tests.
+    n_blocks=6 engages the multi-probe banding (15 subset keys of
+    ~11 effective bits vs 5 keys of ~6.4 bits — this corpus is dense,
+    so the wider keys cut spurious candidates; the pair set is
+    identical by the perfect-recall guarantee)."""
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return D.simhash_near_dups_md5(d, "text", "doc_id", max_hamming=4)
+    return D.simhash_near_dups_md5(d, "text", "doc_id", max_hamming=4, n_blocks=6)
