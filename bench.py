@@ -41,7 +41,8 @@ BENCH_QUERIES = [
     "q60_canonical_url", "q61_pii_scrub", "q62_lsh_embed_near_dup",
     "q63_sentence_dedup", "q64_kmeans_refine", "q65_robots_parse",
     "q66_unigram_surprisal", "q67_hash_sample", "q68_frame_sample",
-    "q69_components", "q70_fuzzy_dedup_pipeline",
+    "q69_components", "q70_fuzzy_dedup_pipeline", "q71_jaccard_df_capped",
+    "q72_duplicate_spans", "q73_decontamination", "q74_stratified_sample",
 ]
 
 

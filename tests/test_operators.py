@@ -105,6 +105,74 @@ def test_jaccard_doc_freq_cap_drops_hot_token(spark):
     assert capped == {(0, 1): 1.0}
 
 
+def test_duplicate_span_stats(spark):
+    """Cross-doc 3-token windows: two docs sharing a 4-token run share
+    two 3-windows; a unique doc has zero; a doc shorter than the
+    window has n_windows == 0 and fraction 0."""
+    from web_scraper_spark.operators.dedup import duplicate_span_stats
+
+    rows = [
+        (1, "a b c d x"),   # windows: abc bcd cdx
+        (2, "z a b c d"),   # windows: zab abc bcd
+        (3, "p q r s t"),   # unique
+        (4, "u v"),          # too short
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in duplicate_span_stats(df, "text", "id", window=3).collect()}
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 2
+    assert abs(out[1]["dup_fraction"] - round(2 / 3, 6)) < 1e-9
+    assert out[2]["n_dup_windows"] == 2
+    assert out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_ngram_contamination(spark):
+    from web_scraper_spark.operators.dedup import (
+        bench_ngram_digests,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame([("the secret answer is here",)], "text string")
+    grams = bench_ngram_digests(bench, "text", n=3)
+    corpus = [
+        (1, "nothing to see"),
+        (2, "we know the secret answer is here too"),  # contains bench 3-grams
+        (3, "secret answer elsewhere"),
+    ]
+    df = spark.createDataFrame(corpus, "id int, text string")
+    out = {r["id"]: r for r in ngram_contamination(df, "text", "id", grams, n=3).collect()}
+    assert not out[1]["contaminated"]
+    assert out[2]["contaminated"] and out[2]["n_hits"] >= 1
+    assert not out[3]["contaminated"]
+
+
+def test_stratified_sample_nests_and_is_parallelism_independent(spark):
+    from web_scraper_spark.operators.relational import (
+        deterministic_sample,
+        stratified_hash_sample,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    strat = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 500_000}, default_ppm=100_000
+    )
+    got = {r["doc_id"] for r in strat.select("doc_id").collect()}
+    got_repart = {
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            d.repartition(13), "doc_id", "lang", {"en": 500_000}, default_ppm=100_000
+        ).select("doc_id").collect()
+    }
+    assert got == got_repart  # parallelism-independent
+    # nesting: every stratum-sampled row is in the 50% flat sample,
+    # and non-en rows are exactly the 10% flat sample's non-en rows
+    flat50 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 500_000).select("doc_id").collect()}
+    flat10 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 100_000).select("doc_id").collect()}
+    non_en = {r["doc_id"] for r in d.filter(F.col("lang") != "en").select("doc_id").collect()}
+    assert got <= flat50
+    assert got & non_en == flat10 & non_en
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],

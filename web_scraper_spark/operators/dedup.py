@@ -282,6 +282,102 @@ def jaccard_pairs(
     return out
 
 
+def _window_hashes(text: Column, window: int) -> Column:
+    """md5 digests of every ``window``-token rolling window (stride 1)
+    over the normalized token stream; empty array for shorter docs.
+    Pure Column expression — no shuffle, no Python."""
+    toks = F.split(normalize_text(text), " ")
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(size - window, F.lit(-1)))
+    return F.when(
+        size >= window,
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
+    ).otherwise(F.array())
+
+
+def duplicate_span_stats(
+    df: DataFrame, text_col: str, id_col: str, window: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span statistics — the signal behind
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as
+    rolling md5 windows so it distributes: for each document, the
+    fraction of its ``window``-token windows that also occur in at
+    least ``min_docs - 1`` OTHER documents.
+
+    Scale shape: windows explode to (id, digest) rows; shared-window
+    detection is ONE groupBy on the 32-hex digest — never a self-join,
+    so a boilerplate window shared by N docs costs N rows in one
+    aggregation group, not N². The per-doc denominator is a pure
+    column expression (no explode). Returns
+    (id, n_windows, n_dup_windows, dup_fraction).
+    """
+    wins = _window_hashes(F.col(text_col), window)
+    base = df.select(F.col(id_col).alias("id"), wins.alias("w"))
+    exploded = base.select("id", F.explode("w").alias("h"))
+    shared = (
+        exploded.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    dup = (
+        exploded.join(shared.select("h"), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    totals = base.select("id", F.size("w").alias("n_windows"))
+    nd = F.coalesce(F.col("n_dup_windows"), F.lit(0))
+    return totals.join(dup, "id", "left").select(
+        "id",
+        "n_windows",
+        nd.alias("n_dup_windows"),
+        F.when(F.col("n_windows") > 0, F.round(nd / F.col("n_windows"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+def bench_ngram_digests(bench_df: DataFrame, text_col: str, n: int = 13) -> DataFrame:
+    """All distinct n-token window digests of a benchmark corpus —
+    the broadcast side of :func:`ngram_contamination`."""
+    return bench_df.select(
+        F.explode(_window_hashes(F.col(text_col), n)).alias("h")
+    ).distinct()
+
+
+def ngram_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_ngrams: DataFrame,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination flag — the 13-gram overlap rule of
+    GPT-3/PaLM-style pipelines: a document is contaminated when any of
+    its ``n``-token rolling windows exactly matches a benchmark
+    n-gram digest. ``bench_ngrams`` (one digest column) is small —
+    benchmarks are 10^5–10^6 grams — so it broadcasts and the corpus
+    NEVER shuffles: explode windows → broadcast left_semi → per-doc
+    count. Returns (id, n_hits, contaminated)."""
+    wins = _window_hashes(F.col(text_col), n)
+    base = df.select(F.col(id_col).alias("id"), wins.alias("w"))
+    hcol = bench_ngrams.columns[0]
+    hits = (
+        base.select("id", F.explode("w").alias("h"))
+        .join(
+            F.broadcast(bench_ngrams.select(F.col(hcol).alias("h")).distinct()),
+            "h",
+            "left_semi",
+        )
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    return base.select("id").join(hits, "id", "left").select(
+        "id", nh.alias("n_hits"), (nh > 0).alias("contaminated")
+    )
+
+
 def simhash64(col: Column, shingle_n: int = 1) -> Column:
     """64-bit SimHash fingerprint, JVM-side.
 

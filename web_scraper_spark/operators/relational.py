@@ -170,6 +170,23 @@ def combined_document(
     )
 
 
+def _ppm_bucket(key_col: str, salt: str):
+    """md5-derived bucket in [0, 10^6) — the shared sampling hash of
+    :func:`deterministic_sample` / :func:`stratified_hash_sample`
+    (identical salt+key ⇒ identical bucket, so per-stratum rates nest:
+    a 10% sample is a subset of a 50% sample of the same salt)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, rate_ppm: int, salt: str = "sample"
 ) -> DataFrame:
@@ -180,16 +197,28 @@ def deterministic_sample(
     non-overlapping bucket ranges give disjoint folds. Pure expression
     (no shuffle, no RNG state); the q67 oracle recomputes the buckets
     bit-for-bit in SQL. Change ``salt`` for an independent sample."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        % 1_000_000
-    )
-    return df.withColumn("_sample_bucket", bucket).filter(
-        F.col("_sample_bucket") < rate_ppm
-    ).drop("_sample_bucket")
+    return df.filter(_ppm_bucket(key_col, salt) < rate_ppm)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates_ppm: dict,
+    default_ppm: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling — corpus rebalancing
+    (downsample the dominant language, keep low-resource strata
+    whole): a row is kept iff its md5 bucket (out of 10^6) falls below
+    its stratum's ppm rate. The rate lookup is a pure CASE expression
+    (no join, no shuffle), and the bucket is shared with
+    :func:`deterministic_sample`, so samples at different rates nest.
+    Same reproducibility contract: identical rows at any parallelism,
+    on any engine, across reruns."""
+    rate = None
+    for k, v in sorted(rates_ppm.items()):
+        cond = F.col(strata_col) == k
+        rate = F.when(cond, F.lit(v)) if rate is None else rate.when(cond, F.lit(v))
+    rate = F.lit(default_ppm) if rate is None else rate.otherwise(F.lit(default_ppm))
+    return df.filter(_ppm_bucket(key_col, salt) < rate)

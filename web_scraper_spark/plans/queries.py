@@ -1346,6 +1346,150 @@ def q70_fuzzy_dedup_pipeline(spark, sf_dir):
     )
 
 
+# =====================================================================
+# df-capped Jaccard — the guarded inverted-index branch, oracled.
+# =====================================================================
+@query(
+    "q71_jaccard_df_capped",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ')) AS toks
+      FROM documents WHERE doc_id < 300),
+    inv AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+    hot AS (SELECT tok FROM inv GROUP BY tok HAVING count(*) > 150),
+    kept AS (SELECT doc_id, tok FROM inv WHERE tok NOT IN (SELECT tok FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, round(CAST(common AS DOUBLE)/(na+nb-common), 6) AS jaccard
+    FROM j WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.5
+    """,
+)
+def q71_jaccard_df_capped(spark, sf_dir):
+    """The document-frequency-capped inverted-index Jaccard (the guard
+    closing the round-2 verdict's last unguarded quadratic), proven
+    end-to-end against SQL: tokens with df > 150 never enter the
+    join, per-doc sizes are recounted from the surviving postings, and
+    the oracle reproduces both the df filter and the capped-vocabulary
+    Jaccard."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.jaccard_pairs(
+        d, "text", "doc_id", threshold=0.5, shingle_n=1, max_doc_freq=150
+    )
+
+
+# =====================================================================
+# ExactSubstr-style duplicated-window statistics.
+# =====================================================================
+@query(
+    "q72_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(n - 7, 0)),
+                    i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS h
+      FROM base),
+    shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (
+      SELECT doc_id, count(*) AS c
+      FROM wins WHERE h IN (SELECT h FROM shared) GROUP BY doc_id)
+    SELECT b.doc_id,
+           greatest(n - 7, 0) AS n_windows,
+           coalesce(d.c, 0) AS n_dup_windows,
+           CASE WHEN n - 7 > 0
+                THEN round(CAST(coalesce(d.c, 0) AS DOUBLE)/(n - 7), 6)
+                ELSE 0.0 END AS dup_fraction
+    FROM base b LEFT JOIN dup d ON d.doc_id = b.doc_id
+    """,
+)
+def q72_duplicate_spans(spark, sf_dir):
+    """Per-document duplicated-window fraction (8-token rolling md5
+    windows shared across ≥ 2 docs) — the distributable form of
+    suffix-array ExactSubstr dedup. One digest groupBy, no self-join."""
+    d = _load(spark, sf_dir, "documents")
+    out = D.duplicate_span_stats(d, "text", "doc_id", window=8, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_fraction"
+    )
+
+
+# =====================================================================
+# Benchmark decontamination (13-gram overlap).
+# =====================================================================
+@query(
+    "q73_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    bench AS (
+      SELECT DISTINCT md5(array_to_string(t[1:13], ' ')) AS h
+      FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 13),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(t) - 12, 0)),
+                    i -> md5(array_to_string(t[i+1:i+13], ' ')))) AS h
+      FROM toks),
+    hits AS (
+      SELECT doc_id, count(*) AS c
+      FROM wins WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(c, 0) AS n_hits, coalesce(c, 0) > 0 AS contaminated
+    FROM toks t LEFT JOIN hits ON hits.doc_id = t.doc_id
+    """,
+)
+def q73_decontamination(spark, sf_dir):
+    """GPT-3/PaLM-style 13-gram decontamination: the benchmark set is
+    the leading 13-gram of every 97th document; any document whose
+    rolling 13-token windows hit a benchmark gram is flagged. The
+    bench digests broadcast; the corpus never shuffles."""
+    d = _load(spark, sf_dir, "documents")
+    toks = F.split(D.normalize_text(F.col("text")), " ")
+    bench = d.filter((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 13)).select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 13))).alias("h")
+    )
+    out = D.ngram_contamination(d, "text", "doc_id", bench, n=13)
+    return out.select(F.col("id").alias("doc_id"), "n_hits", "contaminated")
+
+
+# =====================================================================
+# Stratified deterministic sampling (corpus rebalancing).
+# =====================================================================
+@query(
+    "q74_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_bucket_sql('doc_id', 'sample')} <
+          (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 50000 END)
+    """,
+)
+def q74_stratified_sample(spark, sf_dir):
+    """Per-language rebalanced sample: keep 50% of English, 10% of
+    German, 5% of everything else — deterministically (md5 ppm
+    buckets shared with q67, so rates nest and rows are identical at
+    any parallelism). Pure expression; the oracle recomputes the
+    buckets and the CASE rates bit-for-bit."""
+    from ..operators.relational import stratified_hash_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 500_000, "de": 100_000}, default_ppm=50_000
+    ).select("doc_id", "lang")
+
+
 _IVF_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 dims AS (SELECT label, i, avg(v[i]) AS m
