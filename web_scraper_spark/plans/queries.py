@@ -1490,6 +1490,93 @@ def q74_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+# =====================================================================
+# End-to-end CURATION RUN: the document-side composition capstone
+# (quality gate → language gate → exact-dedup survivors → stratified
+# rebalance), the q70 pattern one level up.
+# =====================================================================
+_QUALITY_SQL = """
+    SELECT doc_id, lang, text, n_words,
+      CAST(round(
+        (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.4 ELSE 0 END)
+        + (CASE WHEN round(CAST(n_stop AS DOUBLE)/greatest(n_words,1),4) >= 0.01 THEN 0.3 ELSE 0 END)
+        + (CASE WHEN round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1),4) <= 0.2 THEN 0.2 ELSE 0 END)
+        + (CASE WHEN round(CAST(n_upper AS DOUBLE)/greatest(n_chars,1),4) <= 0.3 THEN 0.1 ELSE 0 END)
+      , 4) AS DOUBLE) AS quality
+    FROM (
+      SELECT doc_id, lang, text,
+        length(text) AS n_chars,
+        CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_words,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        (len(regexp_extract_all(lower(text),'\\bthe\\b'))
+         + len(regexp_extract_all(lower(text),'\\band\\b'))
+         + len(regexp_extract_all(lower(text),'\\bof\\b'))
+         + len(regexp_extract_all(lower(text),'\\bto\\b'))
+         + len(regexp_extract_all(lower(text),'\\bin\\b'))
+         + len(regexp_extract_all(lower(text),'\\bis\\b'))
+         + len(regexp_extract_all(lower(text),'\\bthat\\b'))
+         + len(regexp_extract_all(lower(text),'\\bwith\\b'))) AS n_stop,
+        len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+      FROM corpus)
+"""
+
+
+@query(
+    "q75_curation_run",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 10 = 7),
+    q AS ({_QUALITY_SQL}),
+    filt AS (SELECT * FROM q WHERE quality >= 0.8 AND lang IN ('en','de','fr')),
+    fp AS (SELECT doc_id, lang, quality, n_words,
+           md5(trim(lower(regexp_replace(text,'\\s+',' ','g')))) AS h FROM filt),
+    firsts AS (SELECT h, min(doc_id) AS fd FROM fp GROUP BY h),
+    kept AS (
+      SELECT fp.doc_id, fp.lang, fp.quality, fp.n_words
+      FROM fp JOIN firsts ON fp.h = firsts.h AND fp.doc_id = firsts.fd)
+    SELECT doc_id, lang, quality, n_words AS n_tokens FROM kept
+    WHERE {_bucket_sql('doc_id', 'sample')} <
+          (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 100000 END)
+    """,
+)
+def q75_curation_run(spark, sf_dir):
+    """The document-side composition a 100-TB curation run executes,
+    as ONE oracled gate entry: corpus (with injected re-crawl
+    duplicates: every 10th-mod-7 doc again under a shifted id) →
+    Gopher-style quality gate (q14's score ≥ 0.8) → language gate →
+    exact-dedup survivor election (first-seen md5, originals beat
+    re-crawls by id order — q15 semantics) → stratified per-language
+    rebalance (q74's nested ppm buckets). Every stage is a pure
+    expression or a digest-keyed shuffle; the oracle re-derives the
+    whole chain."""
+    from ..operators.relational import stratified_hash_sample
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    recrawl = d.filter(F.col("doc_id") % 10 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = d.unionByName(recrawl)
+    feats = TX.quality_features(F.col("text"))
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.quality_score(F.col("text")).alias("quality"),
+        feats["n_words"].alias("n_tokens"),
+    )
+    filt = scored.filter(
+        (F.col("quality") >= 0.8) & F.col("lang").isin("en", "de", "fr")
+    )
+    kept = D.exact_dedup(filt, "text", "doc_id")
+    sampled = stratified_hash_sample(
+        kept, "doc_id", "lang", {"en": 500_000, "de": 200_000}, default_ppm=100_000
+    )
+    return sampled.select("doc_id", "lang", "quality", "n_tokens")
+
+
 _IVF_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 dims AS (SELECT label, i, avg(v[i]) AS m
