@@ -182,3 +182,65 @@ def test_stateful_bloom_backend_no_duplicates(spark, tmp_path):
     counts = collections.Counter(rows)
     assert all(v == 1 for v in counts.values())          # no-FN: never a dup
     assert 445 <= len(counts) <= 450                      # ≤ fp-rate loss
+
+
+def test_stream_content_dedup_across_batches_and_restarts(spark, tmp_path):
+    """Streaming CONTENT dedup (q15's md5 fingerprint as streaming
+    state): re-crawls of the same text under different URLs are
+    dropped across micro-batches and across restarts; whitespace/case
+    variants normalize to the same fingerprint."""
+    import datetime
+
+    import pandas as pd
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+    from web_scraper_spark.streaming.stateful import stream_content_dedup
+    from web_scraper_spark.streaming.stream import pages_stream
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame({
+            "url": [u for u, _ in rows],
+            "warc_ts": [datetime.datetime(2024, 1, 1)] * len(rows),
+            "html": [b"<p>x</p>"] * len(rows),
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+        })
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(pdir / name))
+
+    def run():
+        stream = pages_stream(spark, str(pdir) + "/*", max_files_per_trigger=1)
+        q = (
+            stream_content_dedup(stream, n_shards=4)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["url"] for r in spark.read.parquet(out_dir).select("url").collect()
+        )
+
+    write_batch("b1", [("https://a.x/1", "alpha beta"), ("https://a.x/2", "gamma")])
+    # mirror of doc 1 (different URL, WS/case variant) + one new doc
+    write_batch("b2", [("https://b.x/1", "  Alpha   BETA "), ("https://b.x/2", "delta")])
+    rows = run()
+    assert rows == ["https://a.x/1", "https://a.x/2", "https://b.x/2"]
+    # restart: the fingerprint state survives the checkpoint — another
+    # mirror is still dropped, a new doc still passes
+    write_batch("b3", [("https://c.x/1", "GAMMA"), ("https://c.x/2", "epsilon")])
+    rows2 = run()
+    assert rows2 == [
+        "https://a.x/1", "https://a.x/2", "https://b.x/2", "https://c.x/2",
+    ]
+    # the schema is unchanged (no _fp/_shard leakage)
+    assert spark.read.parquet(out_dir).columns == [f.name for f in PAGES_SCHEMA.fields]

@@ -123,3 +123,33 @@ def stream_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_content_dedup(
+    pages: DataFrame,
+    text_col: str = "text",
+    n_shards: int = 16,
+    exact: bool = True,
+    expected_per_shard: int = 1 << 16,
+    fp_rate: float = 1e-4,
+) -> DataFrame:
+    """Streaming exact-CONTENT dedup: the first document with a given
+    normalized-text fingerprint passes; every later copy (re-crawl,
+    mirror, syndicated page) is dropped — across micro-batches AND
+    restarts. The streaming twin of the batch engine's md5 content
+    dedup (operators/dedup.py::exact_dedup, q15 semantics): a
+    fingerprint column keys the same sharded first-seen state operator
+    as :func:`stream_first_seen`, inheriting its two state backends
+    (exact hash set / fixed-size Bloom) and its restart guarantees."""
+    from ..operators.dedup import normalize_text
+
+    keyed = pages.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
+    out = stream_first_seen(
+        keyed,
+        n_shards=n_shards,
+        url_col="_fp",
+        exact=exact,
+        expected_per_shard=expected_per_shard,
+        fp_rate=fp_rate,
+    )
+    return out.drop("_fp")
