@@ -105,6 +105,55 @@ def test_jaccard_doc_freq_cap_drops_hot_token(spark):
     assert capped == {(0, 1): 1.0}
 
 
+def test_ivf_index_persisted_probe_prunes_partitions(spark, tmp_path):
+    """write_ivf_index + cosine_topk_ivf_indexed: results match the
+    in-memory IVF path bit-for-bit, and the stored-index probe scans
+    ONLY the probed centroid partitions (PartitionFilters pruning)."""
+    from web_scraper_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        ivf_assign,
+        label_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = label_centroids(emb, "embedding", "label").withColumnRenamed(
+        "centroid_id", "centroid_id"
+    )
+    assigned = ivf_assign(
+        emb, "embedding", "vec_id", cents.select(
+            F.col("centroid_id"), F.col("centroid").alias("embedding")
+        )
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(assigned, path)
+    index = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 3)  # ≤ 6 probed buckets of 10
+    mem = cosine_topk_ivf(
+        queries, assigned, cents, "embedding", "vec_id", k=5, nprobe=2
+    )
+    idx = cosine_topk_ivf_indexed(
+        queries, index, cents, "embedding", "vec_id", k=5, nprobe=2
+    )
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows)
+    assert key(idx.collect()) == key(mem.collect())
+    # the probed scan carries a planning-time partition filter on the
+    # bucket directories — a 100-TB index probe lists ~nprobe/k of it
+    # (inputFiles() ignores filters, so assert on the physical plan)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.explain("formatted")
+    plan = buf.getvalue()
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2, plan
+    filters = seg[1].split("]", 1)[0]
+    assert "centroid_id" in filters and filters.strip(), plan
+
+
 def test_duplicate_span_stats(spark):
     """Cross-doc 3-token windows: two docs sharing a 4-token run share
     two 3-windows; a unique doc has zero; a doc shorter than the

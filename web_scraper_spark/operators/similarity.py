@@ -157,6 +157,63 @@ def ivf_assign_topn(
     )
 
 
+def write_ivf_index(
+    corpus_assigned: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an IVF-assigned corpus partitioned BY centroid_id
+    (hive-style directories). Repeated ANN queries against the stored
+    index then read ONLY the probed buckets — pruning happens at the
+    file-listing level, so a 100-TB corpus probe touches ~nprobe/k of
+    the data instead of scanning it. This is the bucketing lever the
+    mandate calls for on the storage side; the in-memory path
+    (:func:`cosine_topk_ivf`) stays the one-shot form."""
+    corpus_assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
+
+def cosine_topk_ivf_indexed(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k against a STORED IVF index (a DataFrame read from
+    :func:`write_ivf_index`'s partitioned layout): the probed
+    centroid ids — nprobe × n_queries values, tiny by the
+    few-queries × huge-corpus contract — are collected and pushed as
+    an explicit ``centroid_id IN (...)`` partition filter, so the
+    scan's PartitionFilters prune unprobed buckets at planning time
+    (deterministic, unlike relying on runtime dynamic partition
+    pruning against an in-memory query frame). Results are identical
+    to :func:`cosine_topk_ivf` over the same assignment."""
+    q_assigned = ivf_assign_topn(queries, vec_col, id_col, centroids, nprobe)
+    probed = [
+        r["centroid_id"]
+        for r in q_assigned.select("centroid_id").distinct().collect()
+    ]
+    pruned = index.filter(F.col("centroid_id").isin(probed))
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = pruned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    pairs = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to)
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 arithmetic —
     component k,i = (md5-hex8 % 2001 − 1000) / 1000 ∈ [−1, 1]. Both
