@@ -105,6 +105,30 @@ def test_jaccard_doc_freq_cap_drops_hot_token(spark):
     assert capped == {(0, 1): 1.0}
 
 
+def test_global_running_total_matches_single_window(spark):
+    """The blocked two-level prefix sum must exactly equal the naive
+    single-window cumsum, including across block boundaries and with
+    sparse/irregular ids."""
+    from pyspark.sql import Window as W
+
+    from web_scraper_spark.operators.relational import global_running_total
+
+    rows = [(i * 3 + (i % 2), (i * 7) % 11) for i in range(200)]  # irregular keys
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["running_before"]
+        for r in global_running_total(df, "id", "v", block_size=37).collect()
+    }
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["rb"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("rb")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_ivf_index_persisted_probe_prunes_partitions(spark, tmp_path):
     """write_ivf_index + cosine_topk_ivf_indexed: results match the
     in-memory IVF path bit-for-bit, and the stored-index probe scans

@@ -170,6 +170,67 @@ def combined_document(
     )
 
 
+def global_running_total(
+    df: DataFrame, order_col: str, value_col: str, block_size: int = 100_000
+) -> DataFrame:
+    """Deterministic, SCALABLE global prefix sum: for each row, the
+    sum of ``value_col`` over all rows strictly before it in
+    ``order_col`` order (non-negative integer keys).
+
+    A bare ``Window.orderBy(...)`` computes this in ONE task — a
+    100-TB non-starter. Instead: rows bucket into key-range blocks
+    (``order_col // block_size`` — deterministic, unlike sampled
+    range partitioning), the within-block cumsum is a partitioned
+    window, and the cross-block offsets come from a window over the
+    BLOCK TOTALS only (tiny — that single-task window touches
+    n_blocks rows, not the data) broadcast back onto the rows.
+    Adds ``running_before``."""
+    with_blk = df.withColumn(
+        "_blk", F.floor(F.col(order_col) / F.lit(block_size)).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = with_blk.groupBy("_blk").agg(F.sum(value_col).alias("_t"))
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_blk", F.coalesce(F.sum("_t").over(w_blk), F.lit(0)).alias("_prefix")
+    )
+    return (
+        with_blk.withColumn(
+            "_within", F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(prefix), "_blk")
+        .withColumn("running_before", (F.col("_prefix") + F.col("_within")).cast("long"))
+        .drop("_blk", "_within", "_prefix")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    block_size: int = 100_000,
+) -> DataFrame:
+    """Sequence packing for LM training-batch assembly: documents in
+    deterministic ``id_col`` order are laid head-to-tail into one
+    token stream, and each document's bin is the ``capacity``-token
+    sequence where its FIRST token lands (documents may straddle
+    boundaries — the standard concat-then-split packing). Built on
+    :func:`global_running_total`, so it distributes; same rows at any
+    parallelism. Returns (id, n_tokens, stream_offset, bin_id)."""
+    r = global_running_total(df, id_col, tokens_col, block_size)
+    return r.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.col("running_before").alias("stream_offset"),
+        F.floor(F.col("running_before") / F.lit(capacity)).cast("long").alias("bin_id"),
+    )
+
+
 def _ppm_bucket(key_col: str, salt: str):
     """md5-derived bucket in [0, 10^6) — the shared sampling hash of
     :func:`deterministic_sample` / :func:`stratified_hash_sample`

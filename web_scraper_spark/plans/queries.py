@@ -1577,6 +1577,45 @@ def q75_curation_run(spark, sf_dir):
     return sampled.select("doc_id", "lang", "quality", "n_tokens")
 
 
+# =====================================================================
+# Sequence packing (LM training-batch assembly).
+# =====================================================================
+@query(
+    "q76_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+      FROM t)
+    SELECT doc_id, n_tokens, stream_offset, stream_offset // 512 AS bin_id
+    FROM r
+    """,
+)
+def q76_pack_sequences(spark, sf_dir):
+    """Concat-then-split sequence packing into 512-token training
+    bins: documents in doc_id order lay head-to-tail into one token
+    stream; each doc's bin is where its first token lands. The engine
+    computes the global prefix sum SCALABLY (key-range blocks +
+    block-total offsets — no single-task global window over the
+    data); the oracle is the textbook single-window form, proving the
+    two-level cumsum exactly equals it."""
+    from ..operators.relational import pack_sequences
+
+    d = _load(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    toks = d.select("doc_id", feats["n_words"].alias("n_tokens"))
+    # block_size 100 → tens of blocks even at sf0.01: the cross-block
+    # offset path is genuinely exercised, not a one-block degenerate
+    return pack_sequences(toks, "doc_id", "n_tokens", capacity=512, block_size=100)
+
+
 _IVF_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 dims AS (SELECT label, i, avg(v[i]) AS m
