@@ -81,6 +81,37 @@ def test_cosine_topk_corpus_never_exchanged(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_q73_bench_digests_broadcast_semi(spark):
+    """Decontamination must match windows against the benchmark set
+    via a broadcast semi-join — the corpus never shuffles for it."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q73_decontamination"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q74_stratified_sample_no_exchange(spark):
+    """The stratified sampler is a pure filter expression — zero
+    exchanges in the plan."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q74_stratified_sample"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_q76_prefix_sum_never_single_partitions_the_data(spark):
+    """The packing cumsum must run as the blocked two-level form: the
+    data-side window partitions on _blk, and at most ONE
+    single-partition exchange exists — the one over the tiny
+    block-totals table."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q76_pack_sequences"](spark, SF))
+    assert "hashpartitioning(_blk" in plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 def test_video_docs_plan_is_python_free(spark):
     """The whole star-join → document assembly must stay JVM-side:
     no ArrowEvalPython / MapInPandas / BatchEvalPython in q55's plan
