@@ -87,3 +87,37 @@ def test_image_filenames_hash_plus_ext(spark):
     assert out["aaaa"] == "aaaa.webp"
     assert out["bbbb"] == "bbbb.jpg"  # non-whitelisted ext → .jpg
     assert out["cccc"] == "cccc.jpg"  # no ext → .jpg
+
+
+def test_write_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Sharded JSONL export: lossless round-trip, deterministic
+    record→file assignment across runs, gzip part files."""
+    import glob
+    import json
+    import gzip
+
+    from web_scraper_spark.sources.sinks import read_jsonl, write_jsonl_shards
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    p1, p2 = str(tmp_path / "j1"), str(tmp_path / "j2")
+    write_jsonl_shards(d, p1, "doc_id", n_shards=8)
+    write_jsonl_shards(d.repartition(13), p2, "doc_id", n_shards=8)
+
+    back = read_jsonl(spark, p1, schema=d.schema)
+    a = sorted(map(tuple, d.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b  # lossless round-trip
+
+    def shard_contents(path):
+        out = {}
+        for f in sorted(glob.glob(path + "/part-*.json.gz")):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                out[f.rsplit("/", 1)[1].split("-")[1]] = [
+                    json.loads(line)["doc_id"] for line in fh
+                ]
+        return out
+
+    s1, s2 = shard_contents(p1), shard_contents(p2)
+    assert s1 and s1 == s2  # same assignment + in-shard order at any input partitioning

@@ -90,6 +90,43 @@ def write_documents_as_files(
     return len(os.listdir(out_dir))
 
 
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 64,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: sharded JSON-Lines, the interchange
+    format LM data loaders consume. DETERMINISTIC layout: rows route
+    to ``pmod(xxhash64(key), n_shards)`` shards and are sorted by the
+    key within each shard, so two runs over the same data produce the
+    same record→shard assignment and the same in-shard order —
+    resumable downstream tokenization can trust shard identity.
+    One exchange on the shard id; the JSON encode and gzip happen
+    executor-side via Spark's native JSON writer (no Python)."""
+    sharded = (
+        df.withColumn("_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+        .repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard", key_col)
+        .drop("_shard")
+    )
+    writer = sharded.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """Round-trip reader for :func:`write_jsonl_shards` output (schema
+    recommended at scale — inference scans the data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def console_sink(df: DataFrame, source_col: str = "url", content_col: str = "doc", n: int = 5) -> None:
     """S10: print content with 'Content from {source}' headers
     (contxt/outputs.py:40-50); debug-scale only."""
