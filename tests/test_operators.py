@@ -556,13 +556,28 @@ def test_connected_components_chain_and_isolates(spark):
     pair = [(100, 101)]
     tri = [(200, 201), (201, 202), (200, 202)]
     df = spark.createDataFrame(chain + pair + tri, "id_a int, id_b int")
-    out = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    # both paths must agree exactly: the driver union-find fast path
+    # (default at this size) and the distributed star loop
+    stats_d, stats_s = {}, {}
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(df, stats_out=stats_d).collect()
+    }
+    out_star = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            df, stats_out=stats_s, driver_threshold=0
+        ).collect()
+    }
+    assert stats_d["mode"] == "driver-union-find"
+    assert stats_s["mode"] == "star-loop"
+    assert out == out_star
     assert all(out[i] == 0 for i in range(11))
     assert out[100] == out[101] == 100
     assert out[200] == out[201] == out[202] == 200
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
-        connected_components(df, max_iterations=1)
+        connected_components(df, max_iterations=1, driver_threshold=0)
 
 
 def test_connected_components_log_iterations_on_long_chain(spark):
@@ -577,7 +592,9 @@ def test_connected_components_log_iterations_on_long_chain(spark):
     stats: dict = {}
     out = {
         r["id"]: r["component"]
-        for r in connected_components(df, max_iterations=12, stats_out=stats).collect()
+        for r in connected_components(
+            df, max_iterations=12, stats_out=stats, driver_threshold=0
+        ).collect()
     }
     assert len(out) == n + 1
     assert all(out[i] == 0 for i in range(n + 1))

@@ -719,6 +719,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iterations: int = 20,
     stats_out: dict | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Near-dup pair edges → clusters: (id, component) where component
     is the MIN id in the connected component — the fuzzy-dedup
@@ -742,8 +743,17 @@ def connected_components(
 
     Vertices are edge-induced; callers union isolated ids as their own
     components if needed. ``stats_out`` (optional dict) receives
-    {"iterations": n} for observability/regression tests. Raises if
-    not converged within ``max_iterations``.
+    {"iterations": n, "mode": ...} for observability/regression
+    tests. Raises if not converged within ``max_iterations``.
+
+    Small graphs take a driver-side union-find fast path: the
+    canonical edge count comes for free from the first signature
+    aggregate, and below ``driver_threshold`` edges (bounded driver
+    memory — ~tens of MB at the default) the distributed loop is pure
+    scheduling overhead (measured 9 s for a 391-edge graph at 32
+    shuffle partitions vs milliseconds of union-find). Near-dup
+    graphs at 100-TB scale blow past the threshold and run the star
+    loop; tests pin the distributed path via ``driver_threshold=0``.
     """
     e = (
         edges.select(
@@ -763,6 +773,44 @@ def connected_components(
         return row["n"], row["x"]
 
     sig = signature(e)
+
+    if sig[0] <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in e.collect():
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by VALUE (smaller root wins) — the final root
+                # of every set is therefore its minimum member, the
+                # same component label the star loop produces
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        if stats_out is not None:
+            stats_out["iterations"] = 0
+            stats_out["mode"] = "driver-union-find"
+        id_type = e.schema["a"].dataType
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("id", id_type, False),
+                T.StructField("component", id_type, False),
+            ]
+        )
+        return e.sparkSession.createDataFrame(
+            [(k, find(k)) for k in parent], out_schema
+        )
+
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
@@ -781,6 +829,7 @@ def connected_components(
         )
     if stats_out is not None:
         stats_out["iterations"] = iterations
+        stats_out["mode"] = "star-loop"
     # fixpoint edges are (member, component-min) stars; the minima
     # themselves label their own component
     members = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
