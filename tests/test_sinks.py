@@ -121,3 +121,39 @@ def test_write_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
 
     s1, s2 = shard_contents(p1), shard_contents(p2)
     assert s1 and s1 == s2  # same assignment + in-shard order at any input partitioning
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key and count must sort-merge
+    join with ZERO Exchange in the plan (the write-once-shuffle
+    co-location contract), and produce the same rows as the plain
+    join."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.sources.sinks import bucketed_table, write_bucketed
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = d.select("doc_id", "lang")
+    right = d.select("doc_id", "source")
+    write_bucketed(left, "bkt_left", "doc_id", n_buckets=8)
+    write_bucketed(right, "bkt_right", "doc_id", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale the planner would broadcast the tiny side and
+        # skip bucketing entirely; at 100 TB neither side broadcasts —
+        # force the non-broadcast regime the feature exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lj = bucketed_table(spark, "bkt_left")
+        rj = bucketed_table(spark, "bkt_right")
+        joined = lj.join(rj, "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        got = sorted(map(tuple, joined.collect()))
+        want = sorted(map(tuple, left.join(right, "doc_id").collect()))
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

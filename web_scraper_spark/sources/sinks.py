@@ -118,6 +118,36 @@ def write_jsonl_shards(
     writer.json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-BUCKETED (and sorted) by ``key`` — the
+    co-located-join lever: two tables bucketed on the same key with
+    the same bucket count join WITHOUT any Exchange (each task zips
+    bucket i with bucket i), so a repeatedly-joined 100-TB fact table
+    pays its shuffle once at write time instead of per query. Pair
+    with :func:`bucketed_table` and see the plan test asserting the
+    exchange-free join."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_table(spark, table: str) -> DataFrame:
+    """Read back a :func:`write_bucketed` table with its bucketing
+    metadata intact (plain ``spark.read.parquet`` on the files would
+    lose it and reintroduce the shuffle)."""
+    return spark.table(table)
+
+
 def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     """Round-trip reader for :func:`write_jsonl_shards` output (schema
     recommended at scale — inference scans the data)."""
