@@ -199,6 +199,34 @@ def test_duplicate_span_stats(spark):
     assert out[4]["n_windows"] == 0 and out[4]["dup_fraction"] == 0.0
 
 
+def test_duplicate_spans_merges_intervals(spark):
+    """Two docs sharing a 5-token run (3-windows at pos 1..3 in doc 1)
+    merge into ONE span covering tokens 1..5; a second disjoint shared
+    run yields a separate span; unrelated docs emit nothing."""
+    from web_scraper_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        # doc 1: shared run 'c d e f g' at tokens 1-5, and 'x y z' at 8-10
+        (1, "a c d e f g q r x y z"),
+        (2, "c d e f g"),
+        (3, "p x y z"),
+        (4, "unrelated words only"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {}
+    for r in duplicate_spans(df, "text", "id", window=3, min_docs=2).collect():
+        out.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    for k in out:
+        out[k].sort()
+    # doc 1: windows (1..3) merge to tokens [1,5]; window at 8 → [8,10]
+    assert out[1] == [(1, 5, 3), (8, 10, 1)]
+    assert out[2] == [(0, 4, 3)]
+    assert out[3] == [(1, 3, 1)]
+    assert 4 not in out
+
+
 def test_ngram_contamination(spark):
     from web_scraper_spark.operators.dedup import (
         bench_ngram_digests,

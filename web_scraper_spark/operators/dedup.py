@@ -337,6 +337,52 @@ def duplicate_span_stats(
     )
 
 
+def duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, window: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Merged duplicated-token INTERVALS per document — the span-level
+    output of ExactSubstr dedup (which tokens to cut, not just how
+    many): windows shared across ≥ ``min_docs`` docs are merged into
+    maximal contiguous token ranges (windows overlapping or touching
+    — gap ≤ 0 tokens — coalesce). Same scale shape as
+    :func:`duplicate_span_stats` (one digest groupBy, no self-join)
+    plus one per-doc ordering window (exchange on id only).
+
+    Returns (id, span_start, span_end, n_windows) in 0-based token
+    coordinates, span_end inclusive.
+    """
+    wins = _window_hashes(F.col(text_col), window)
+    base = df.select(F.col(id_col).alias("id"), wins.alias("w"))
+    exploded = base.select("id", F.posexplode("w").alias("pos", "h"))
+    shared = (
+        exploded.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    flagged = exploded.join(shared.select("h"), "h", "left_semi")
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    # break when the previous window's last token (lag+W-1) leaves a
+    # gap before this window's first (pos): pos > lag + W
+    brk = F.coalesce(
+        (F.col("pos") - F.lag("pos", 1).over(w_ord) > window).cast("int"), F.lit(0)
+    )
+    grouped = flagged.withColumn("_brk", brk).withColumn(
+        "_grp",
+        F.sum("_brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        grouped.groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window - 1).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
+    )
+
+
 def bench_ngram_digests(bench_df: DataFrame, text_col: str, n: int = 13) -> DataFrame:
     """All distinct n-token window digests of a benchmark corpus —
     the broadcast side of :func:`ngram_contamination`."""

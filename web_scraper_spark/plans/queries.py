@@ -1427,6 +1427,53 @@ def q72_duplicate_spans(spark, sf_dir):
 
 
 # =====================================================================
+# ExactSubstr span OUTPUT: merged duplicated-token intervals.
+# =====================================================================
+@query(
+    "q77_duplicate_span_ranges",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    wins AS (
+      SELECT doc_id,
+             unnest(range(greatest(n - 7, 0))) AS pos,
+             unnest(list_transform(range(greatest(n - 7, 0)),
+                    i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS h
+      FROM base),
+    shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM shared)),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM lagged)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def q77_duplicate_span_ranges(spark, sf_dir):
+    """The span-level ExactSubstr output: duplicated 8-token windows
+    merged into maximal contiguous token intervals per document —
+    the ranges a dedup pass would actually cut. One digest groupBy +
+    one per-doc ordering window; the oracle re-derives the interval
+    merge with the same lag/cumsum sessionize."""
+    d = _load(spark, sf_dir, "documents")
+    out = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
+    )
+
+
+# =====================================================================
 # Benchmark decontamination (13-gram overlap).
 # =====================================================================
 @query(
