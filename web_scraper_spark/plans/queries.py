@@ -1625,6 +1625,43 @@ def q75_curation_run(spark, sf_dir):
 
 
 # =====================================================================
+# Corpus distribution report (exact percentiles).
+# =====================================================================
+@query(
+    "q78_token_distribution",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_tokens), 4) AS mean_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+           round(quantile_cont(n_tokens, 0.99), 4) AS p99
+    FROM t GROUP BY lang
+    """,
+)
+def q78_token_distribution(spark, sf_dir):
+    """Per-language token-count distribution — the corpus report a
+    curation run starts from. EXACT percentiles (Spark's percentile
+    aggregate and DuckDB's quantile_cont share the continuous
+    p·(n−1) linear-interpolation definition, so values match to the
+    rounding guard); one groupBy on lang."""
+    d = _load(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    t = d.select("lang", feats["n_words"].alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_tokens", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# =====================================================================
 # Sequence packing (LM training-batch assembly).
 # =====================================================================
 @query(
