@@ -244,3 +244,71 @@ def test_stream_content_dedup_across_batches_and_restarts(spark, tmp_path):
     ]
     # the schema is unchanged (no _fp/_shard leakage)
     assert spark.read.parquet(out_dir).columns == [f.name for f in PAGES_SCHEMA.fields]
+
+
+def test_stream_near_dup_pairs_across_batches(spark, tmp_path):
+    """foreachBatch incremental MinHash-LSH: a doc arriving in batch 2
+    that near-duplicates a batch-1 doc is caught via the signature
+    store; unrelated docs are not; a restart with a new batch finds
+    only the new cross-batch pairs (idempotent batch= dirs)."""
+    import datetime
+
+    import pandas as pd
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+    from web_scraper_spark.streaming.neardup import (
+        make_near_dup_batch_fn,
+        read_near_dup_pairs,
+    )
+    from web_scraper_spark.streaming.stream import pages_stream
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    ck = str(tmp_path / "ck")
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"                     # high overlap with base
+    other = "completely different content about turnips and baritones"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame({
+            "url": [u for u, _ in rows],
+            "warc_ts": [datetime.datetime(2024, 1, 1)] * len(rows),
+            "html": [b"<p>x</p>"] * len(rows),
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+        })
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(pdir / name))
+
+    fn = make_near_dup_batch_fn(store, pairs_dir, threshold=0.5)
+
+    def run():
+        stream = pages_stream(spark, str(pdir) + "/*", max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["id_a"], r["id_b"])
+            for r in read_near_dup_pairs(spark, pairs_dir).collect()
+        }
+
+    write_batch("b1", [("https://a.x/base", base), ("https://a.x/other", other)])
+    write_batch("b2", [("https://b.x/near", near)])
+    got = run()
+    assert ("https://a.x/base", "https://b.x/near") in got
+    assert all("other" not in a and "other" not in b for a, b in got), got
+
+    # restart: a near-dup of the batch-2 doc arrives — caught against
+    # the persisted store without reprocessing old batches
+    write_batch("b3", [("https://c.x/near2", near + " encore")])
+    got2 = run()
+    assert ("https://b.x/near", "https://c.x/near2") in got2
+    assert got <= got2
