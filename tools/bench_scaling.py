@@ -383,6 +383,8 @@ sorts the hot host alone.
 
 _Generated by tools/bench_scaling.py (seeded, deterministic input)._
 """
+    if os.environ.get("BENCH_NO_MD"):
+        return  # replicate runs: keep the curated BASELINE.md intact
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(md)
