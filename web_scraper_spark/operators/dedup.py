@@ -333,7 +333,10 @@ def duplicate_span_stats(
     detection is ONE groupBy on the 32-hex digest — never a self-join,
     so a boilerplate window shared by N docs costs N rows in one
     aggregation group, not N². The per-doc denominator is a pure
-    column expression (no explode). Returns
+    column expression (no explode). The window rows feed both the
+    shared-set aggregate and the semi-join; at corpus scale persist
+    them between the two consumers (kept lazy here — gate/test scale
+    recomputes cheaply). Returns
     (id, n_windows, n_dup_windows, dup_fraction).
     """
     exploded = _window_hash_rows(df, text_col, id_col, window)
