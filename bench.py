@@ -110,14 +110,22 @@ def main() -> None:
         _F.sum("token_count")
     ).collect()
 
+    # per-query min over BENCH_QUERY_PASSES full passes: this box's
+    # effective CPU speed oscillates 2-3x on minute scales (see
+    # BENCH/BASELINE.md protocol note) — two passes sample two windows
+    # and the min is the least-interfered run of each query
+    n_passes = int(os.environ.get("BENCH_QUERY_PASSES", 2))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    for p in range(n_passes):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+            print(f"# pass {p} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     spark.catalog.clearCache()  # drop query-suite caches before the crawl round
     crawl_s, crawl_urls = run_crawl_round_bench(spark)
