@@ -115,9 +115,17 @@ def main() -> None:
     # BENCH/BASELINE.md protocol note) — two passes sample two windows
     # and the min is the least-interfered run of each query
     n_passes = int(os.environ.get("BENCH_QUERY_PASSES", 2))
+    # wall budget: never let extra passes risk an external timeout —
+    # pass 0 always completes; later passes stop once the budget is
+    # spent (their queries keep pass-0 values)
+    budget_s = float(os.environ.get("BENCH_QUERY_BUDGET_S", 300))
+    suite_t0 = time.time()
     timings: dict[str, float] = {}
     for p in range(n_passes):
         for name in BENCH_QUERIES:
+            if p > 0 and time.time() - suite_t0 > budget_s:
+                print(f"# budget reached; stopping at pass {p}", file=sys.stderr)
+                break
             fn = QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -126,6 +134,9 @@ def main() -> None:
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
             print(f"# pass {p} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        else:
+            continue
+        break
 
     spark.catalog.clearCache()  # drop query-suite caches before the crawl round
     crawl_s, crawl_urls = run_crawl_round_bench(spark)
