@@ -27,8 +27,6 @@ restricted to that host (SURVEY.md §7 hard-part 2).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
