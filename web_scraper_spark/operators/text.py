@@ -135,6 +135,39 @@ def scrub_pii(text: Column) -> Column:
     return F.regexp_replace(out, PII_PATTERNS["ip"], "[IP]")
 
 
+_SCRIPT_CLASSES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cjk": "[一-鿿]",
+    "cyrillic": "[Ѐ-ӿ]",
+}
+
+
+def script_ratios(text: Column) -> dict[str, Column]:
+    """Per-document writing-script composition — the multilingual
+    routing signal a curation pipeline uses before language-specific
+    filters: counts of Latin (incl. Latin-1/Extended letters), CJK
+    unified ideographs, and Cyrillic characters, each as a fraction of
+    the scripted characters, plus the dominant script (ties break
+    latin > cjk > cyrillic, matching a fixed CASE order in the
+    oracle). Pure Column expressions — shuffle-free."""
+    counts = {
+        name: F.regexp_count(text, F.lit(cls)) for name, cls in _SCRIPT_CLASSES.items()
+    }
+    denom = F.greatest(sum(counts.values(), F.lit(0)), F.lit(1))
+    out: dict[str, Column] = {
+        f"{name}_ratio": F.round(c / denom, 4) for name, c in counts.items()
+    }
+    out["dominant_script"] = (
+        F.when(
+            (counts["latin"] >= counts["cjk"]) & (counts["latin"] >= counts["cyrillic"]),
+            F.lit("latin"),
+        )
+        .when(counts["cjk"] >= counts["cyrillic"], F.lit("cjk"))
+        .otherwise(F.lit("cyrillic"))
+    )
+    return out
+
+
 def duplicate_token_fraction(text: Column) -> Column:
     """Gopher-style repetition signal: 1 − distinct/total over the
     normalized token stream (boilerplate and looped generations score

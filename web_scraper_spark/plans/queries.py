@@ -1625,6 +1625,66 @@ def q75_curation_run(spark, sf_dir):
 
 
 # =====================================================================
+# Writing-script composition (multilingual routing signal).
+# =====================================================================
+@query(
+    "q79_script_detect",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+        text || (CASE WHEN doc_id % 3 = 1
+                      THEN ' ' || repeat('数据处理', CAST(1 + doc_id % 40 AS INT))
+                      WHEN doc_id % 3 = 2
+                      THEN ' ' || repeat('данные системы ', CAST(1 + doc_id % 30 AS INT))
+                      ELSE '' END) AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        len(regexp_extract_all(t, '[A-Za-zÀ-ɏ]')) AS n_lat,
+        len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk,
+        len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS n_cyr
+      FROM injected)
+    SELECT doc_id,
+      round(CAST(n_lat AS DOUBLE)/greatest(n_lat+n_cjk+n_cyr, 1), 4) AS latin_ratio,
+      round(CAST(n_cjk AS DOUBLE)/greatest(n_lat+n_cjk+n_cyr, 1), 4) AS cjk_ratio,
+      round(CAST(n_cyr AS DOUBLE)/greatest(n_lat+n_cjk+n_cyr, 1), 4) AS cyrillic_ratio,
+      CASE WHEN n_lat >= n_cjk AND n_lat >= n_cyr THEN 'latin'
+           WHEN n_cjk >= n_cyr THEN 'cjk'
+           ELSE 'cyrillic' END AS dominant_script
+    FROM c
+    """,
+)
+def q79_script_detect(spark, sf_dir):
+    """Writing-script composition over documents with deterministically
+    injected CJK/Cyrillic runs (the raw corpus is ASCII — injection
+    makes the oracle non-vacuous, q61's pattern; the repeat length
+    varies per doc so some become CJK/Cyrillic-dominant). Pure Column
+    expressions; the oracle recomputes counts/ratios/dominance
+    bit-for-bit."""
+    d = _load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" "), F.expr("repeat('数据处理', CAST(1 + doc_id % 40 AS INT))")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.lit(" "), F.expr("repeat('данные системы ', CAST(1 + doc_id % 30 AS INT))")),
+        )
+        .otherwise(F.lit("")),
+    )
+    r = TX.script_ratios(t)
+    return d.select(
+        "doc_id",
+        r["latin_ratio"].alias("latin_ratio"),
+        r["cjk_ratio"].alias("cjk_ratio"),
+        r["cyrillic_ratio"].alias("cyrillic_ratio"),
+        r["dominant_script"].alias("dominant_script"),
+    )
+
+
+# =====================================================================
 # Corpus distribution report (exact percentiles).
 # =====================================================================
 @query(
