@@ -446,6 +446,34 @@ def test_canonical_url_semantics_and_idempotence(spark):
     assert all(k == v for k, v in got2.items()), got2
 
 
+def test_script_ratios_dominance_and_ties(spark):
+    from web_scraper_spark.operators.text import script_ratios
+
+    rows = [
+        (1, "hello world"),          # pure latin
+        (2, "数据处理系统"),           # pure cjk
+        (3, "данные"),               # pure cyrillic
+        (4, "ab 数据"),               # 2 vs 2: tie → latin wins
+        (5, "···***"),               # no scripted chars: denom guard
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    r = script_ratios(F.col("text"))
+    out = {
+        row["id"]: row
+        for row in df.select(
+            "id",
+            r["latin_ratio"].alias("lr"),
+            r["cjk_ratio"].alias("cr"),
+            r["dominant_script"].alias("d"),
+        ).collect()
+    }
+    assert out[1]["d"] == "latin" and out[1]["lr"] == 1.0
+    assert out[2]["d"] == "cjk" and out[2]["cr"] == 1.0
+    assert out[3]["d"] == "cyrillic"
+    assert out[4]["d"] == "latin" and out[4]["lr"] == 0.5  # fixed tie order
+    assert out[5]["lr"] == 0.0 and out[5]["cr"] == 0.0  # no div-by-zero
+
+
 def test_repetition_signals(spark):
     from web_scraper_spark.operators.text import (
         duplicate_token_fraction,
