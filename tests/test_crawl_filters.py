@@ -89,6 +89,55 @@ def test_bloom_vectorized_no_false_negatives_and_scalar_agreement():
     assert s2.contains_many_i64(added_h1, added_h2).all()
 
 
+def test_bloom_sketch_version_and_hash_family_tags():
+    """Persisted-sketch safety: the v2 header carries the hash family,
+    so resuming with the wrong family (or a pre-versioned payload)
+    raises instead of silently treating every seen URL as new."""
+    import numpy as np
+    import pytest
+
+    from web_scraper_spark.crawl.bloom import (
+        FAMILY_BLAKE2B,
+        FAMILY_XX64,
+        BloomShard,
+    )
+
+    s = BloomShard.sized_for(1000)
+    h1 = np.arange(64, dtype=np.int64)
+    h2 = np.arange(64, dtype=np.int64) * 7 + 1
+    s.add_many_i64(h1, h2)
+    assert s.family == FAMILY_XX64
+
+    # round-trip preserves the family tag
+    s2 = BloomShard.from_bytes(s.to_bytes())
+    assert s2.family == FAMILY_XX64
+
+    # probing with the other family fails fast
+    with pytest.raises(ValueError, match="hash-family mismatch"):
+        "https://a.example/" in s2
+    with pytest.raises(ValueError, match="hash-family mismatch"):
+        s2.add("https://a.example/")
+
+    # legacy (unversioned) payload fails fast
+    legacy = (
+        s.n_bits.to_bytes(8, "big")
+        + s.n_hashes.to_bytes(2, "big")
+        + s.n_items.to_bytes(8, "big")
+        + bytes(s.bits)
+    )
+    with pytest.raises(ValueError, match="unversioned"):
+        BloomShard.from_bytes(legacy)
+
+    # cross-family merge refused; empty-sketch merge keeps the family
+    t = BloomShard(s.n_bits, s.n_hashes)
+    t.add("https://a.example/")
+    assert t.family == FAMILY_BLAKE2B
+    with pytest.raises(ValueError, match="hash-family mismatch"):
+        s.merge(t)
+    m = s.merge(BloomShard(s.n_bits, s.n_hashes))
+    assert m.family == FAMILY_XX64 and m.contains_many_i64(h1, h2).all()
+
+
 def test_crawl_with_robots_and_ignore_matches_simulator(spark, tmp_path):
     n = 48
     pages = pages_df(spark, n)

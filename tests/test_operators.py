@@ -129,6 +129,49 @@ def test_global_running_total_matches_single_window(spark):
     assert got == want
 
 
+def test_global_running_total_exact_above_2_53(spark):
+    """Block ids use exact integer division (SQL `div`), not
+    floor(double): hash-derived keys above 2^53 — where DOUBLE loses
+    integer precision — must still land in the right block and keep
+    the prefix sum exact. Adjacent keys straddling 2^53+ block
+    boundaries would mis-block under the old float path."""
+    from pyspark.sql import Window as W
+
+    from web_scraper_spark.operators.relational import global_running_total
+
+    base = (1 << 60) + 12345  # far beyond double's exact-integer range
+    ids = [base + i * 13 for i in range(64)] + [(1 << 61) + i * 7 for i in range(64)]
+    rows = [(i, (i % 97) + 1) for i in ids]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["running_before"]
+        for r in global_running_total(df, "id", "v", block_size=100).collect()
+    }
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["rb"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("rb")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_jaccard_pairs_rejects_candidates_plus_df_cap(spark):
+    """candidates and max_doc_freq are mutually exclusive — the
+    candidates branch would silently ignore the cap."""
+    import pytest
+
+    from web_scraper_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame([(0, "a b"), (1, "a b")], "doc_id long, text string")
+    cands = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, candidates=cands, max_doc_freq=4
+        )
+
+
 def test_ivf_index_persisted_probe_prunes_partitions(spark, tmp_path):
     """write_ivf_index + cosine_topk_ivf_indexed: results match the
     in-memory IVF path bit-for-bit, and the stored-index probe scans

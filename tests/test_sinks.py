@@ -91,10 +91,15 @@ def test_image_filenames_hash_plus_ext(spark):
 
 def test_write_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
     """Sharded JSONL export: lossless round-trip, deterministic
-    record→file assignment across runs, gzip part files."""
+    record→file assignment across runs, gzip part files, and the
+    ON-DISK shard identity (hive `_shard=N` dir) equal to the
+    documented pmod(xxhash64(key), n) routing — one sorted part file
+    per shard."""
     import glob
     import json
     import gzip
+
+    from pyspark.sql import functions as F
 
     from web_scraper_spark.sources.sinks import read_jsonl, write_jsonl_shards
 
@@ -112,15 +117,28 @@ def test_write_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
 
     def shard_contents(path):
         out = {}
-        for f in sorted(glob.glob(path + "/part-*.json.gz")):
-            with gzip.open(f, "rt", encoding="utf-8") as fh:
-                out[f.rsplit("/", 1)[1].split("-")[1]] = [
-                    json.loads(line)["doc_id"] for line in fh
-                ]
+        for dirp in sorted(glob.glob(path + "/_shard=*")):
+            sid = int(dirp.rsplit("=", 1)[1])
+            files = sorted(glob.glob(dirp + "/part-*.json.gz"))
+            assert len(files) == 1  # one sorted part file per shard
+            with gzip.open(files[0], "rt", encoding="utf-8") as fh:
+                out[sid] = [json.loads(line)["doc_id"] for line in fh]
         return out
 
     s1, s2 = shard_contents(p1), shard_contents(p2)
     assert s1 and s1 == s2  # same assignment + in-shard order at any input partitioning
+    for sid, ids in s1.items():
+        assert ids == sorted(ids)  # in-shard order is the key order
+
+    # on-disk dir id == documented routing value, row for row
+    expected = {
+        r["doc_id"]: r["sid"]
+        for r in d.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("sid")
+        ).collect()
+    }
+    placed = {i: sid for sid, ids in s1.items() for i in ids}
+    assert placed == expected
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):

@@ -4,6 +4,15 @@ queries() entry on Spark and its oracle_sql() on DuckDB over the same
 parquet dir, compare row count + column names + order-insensitive
 normalized values.
 
+HARDENING (round-4, after the q76 driver red): the oracle result is
+fetched as an Arrow table and any DECIMAL-typed output column is a
+HARD FAILURE — DuckDB silently promotes sum(BIGINT) to HUGEINT
+(int128 → arrow decimal128) and round(DECIMAL) stays DECIMAL, both of
+which str()-compare equal locally but break the driver's typed
+value-hash. This is exactly how q76 (r3) and q01/q02/q24 (r1) passed
+the old twin yet failed the driver. Canonical-type drift between the
+Spark and oracle schemas (e.g. int32 vs int64) is reported as WARN.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -43,6 +52,43 @@ def table_of(rows, cols):
     return [cols[i] for i in idx], out
 
 
+def canon_type(t: str) -> str:
+    """Collapse a Spark dtype string or an Arrow type string to a
+    canonical class so int32-vs-int64 / float-vs-double drift between
+    engine and oracle is visible (WARN-level)."""
+    t = str(t).lower()
+    for pat, c in (
+        ("decimal", "DECIMAL"),
+        ("int8", "int"),
+        ("int16", "int"),
+        ("int32", "int"),
+        ("int64", "bigint"),
+        ("tinyint", "int"),
+        ("smallint", "int"),
+        ("bigint", "bigint"),
+        ("int", "int"),
+        ("halffloat", "float"),
+        ("float64", "double"),
+        ("double", "double"),
+        ("float", "float"),
+        ("large_string", "string"),
+        ("string", "string"),
+        ("varchar", "string"),
+        ("bool", "bool"),
+        ("timestamp", "timestamp"),
+        ("date", "date"),
+        ("large_binary", "binary"),
+        ("binary", "binary"),
+        ("large_list", "list"),
+        ("list", "list"),
+        ("array", "list"),
+        ("struct", "struct"),
+    ):
+        if t.startswith(pat):
+            return c
+    return t
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -77,13 +123,34 @@ def main():
                 print(f"{name}: FAIL empty result")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(ORACLES[name]).fetch_arrow_table()
+            ocols = list(tbl.schema.names)
+            cols_data = [c.to_pylist() for c in tbl.columns]
+            orows = list(zip(*cols_data)) if tbl.num_rows else []
         except Exception as e:
             failures.append(name)
             print(f"{name}: ORACLE ERROR {str(e)[:300]}")
             continue
+        # Hard gate: DuckDB HUGEINT/DECIMAL outputs (uncast sum(),
+        # round() of DECIMAL, quantile over DECIMAL) str()-compare
+        # equal here but fail the driver's typed value-hash.
+        bad = [f"{f.name}:{f.type}" for f in tbl.schema if "decimal" in str(f.type)]
+        if bad:
+            failures.append(name)
+            print(
+                f"{name}: NON-PORTABLE ORACLE TYPE {bad} — wrap in "
+                "CAST(... AS BIGINT/DOUBLE) per CLAUDE.md portability rules"
+            )
+            continue
+        stypes = {n: canon_type(t) for n, t in sdf.dtypes}
+        otypes = {f.name: canon_type(f.type) for f in tbl.schema}
+        drift = {
+            c: (stypes[c], otypes[c])
+            for c in stypes
+            if c in otypes and stypes[c] != otypes[c]
+        }
+        if drift:
+            print(f"{name}: WARN canonical-type drift spark-vs-oracle: {drift}")
         sc, st = table_of(srows, scols)
         oc, ot = table_of(orows, ocols)
         if sc != oc:

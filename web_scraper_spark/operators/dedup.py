@@ -199,8 +199,18 @@ def jaccard_pairs(
     and logged at WARNING. Without a cap and without ``candidates``
     the join is exact over the full vocabulary but only safe for
     corpora with bounded document frequencies — pass one of the two
-    at scale.
+    at scale. ``candidates`` and ``max_doc_freq`` are mutually
+    exclusive: the candidates branch intersects FULL shingle arrays
+    (no posting-list join, so a df cap has nothing to guard and would
+    silently change the Jaccard definition) — passing both raises.
     """
+    if candidates is not None and max_doc_freq is not None:
+        raise ValueError(
+            "jaccard_pairs: candidates and max_doc_freq are mutually "
+            "exclusive — the candidate branch computes Jaccard over full "
+            "shingle arrays, so a df cap would be silently ignored "
+            "(df-capped similarity needs the inverted-index branch)"
+        )
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -352,7 +362,7 @@ def duplicate_span_stats(
     )
     totals = df.select(
         F.col(id_col).alias("id"),
-        _n_windows(F.col(text_col), window).alias("n_windows"),
+        _n_windows(F.col(text_col), window).cast("long").alias("n_windows"),
     )
     nd = F.coalesce(F.col("n_dup_windows"), F.lit(0))
     return totals.join(dup, "id", "left").select(
@@ -401,8 +411,8 @@ def duplicate_spans(
     return (
         grouped.groupBy("id", "_grp")
         .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + window - 1).alias("span_end"),
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window - 1).cast("long").alias("span_end"),
             F.count("*").alias("n_windows"),
         )
         .select("id", "span_start", "span_end", "n_windows")

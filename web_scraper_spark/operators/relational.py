@@ -91,7 +91,7 @@ def topk_per_group(
     """
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )
 
@@ -179,14 +179,23 @@ def global_running_total(
 
     A bare ``Window.orderBy(...)`` computes this in ONE task — a
     100-TB non-starter. Instead: rows bucket into key-range blocks
-    (``order_col // block_size`` — deterministic, unlike sampled
+    (``order_col div block_size`` — deterministic, unlike sampled
     range partitioning), the within-block cumsum is a partitioned
     window, and the cross-block offsets come from a window over the
     BLOCK TOTALS only (tiny — that single-task window touches
     n_blocks rows, not the data) broadcast back onto the rows.
-    Adds ``running_before``."""
+    Adds ``running_before``.
+
+    CONTRACT: ``order_col`` values must be UNIQUE non-negative
+    integers — they ARE the global order, and the within-block ROWS
+    window has no other tie-breaker, so duplicate keys would make
+    "strictly before" nondeterministic. Hash-derived 64-bit ids
+    (e.g. the frontier's stable-hash seq) satisfy this. The block id
+    uses SQL ``div`` (exact integer division, stays in long): the
+    earlier ``floor(col / lit)`` form went through DOUBLE, which
+    silently mis-blocks keys above 2^53."""
     with_blk = df.withColumn(
-        "_blk", F.floor(F.col(order_col) / F.lit(block_size)).cast("long")
+        "_blk", F.expr(f"cast((`{order_col}` div {int(block_size)}) as bigint)")
     )
     w_in = (
         Window.partitionBy("_blk")
@@ -221,13 +230,15 @@ def pack_sequences(
     sequence where its FIRST token lands (documents may straddle
     boundaries — the standard concat-then-split packing). Built on
     :func:`global_running_total`, so it distributes; same rows at any
-    parallelism. Returns (id, n_tokens, stream_offset, bin_id)."""
+    parallelism. ``id_col`` must hold UNIQUE non-negative integers
+    (see :func:`global_running_total`'s contract).
+    Returns (id, n_tokens, stream_offset, bin_id)."""
     r = global_running_total(df, id_col, tokens_col, block_size)
     return r.select(
         F.col(id_col),
         F.col(tokens_col),
         F.col("running_before").alias("stream_offset"),
-        F.floor(F.col("running_before") / F.lit(capacity)).cast("long").alias("bin_id"),
+        F.expr(f"cast((running_before div {int(capacity)}) as bigint)").alias("bin_id"),
     )
 
 

@@ -350,8 +350,8 @@ def q12_token_counts(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
-        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+        TX.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
         TX.char_token_estimate(F.col("text")).alias("char_est"),
     )
 
@@ -431,8 +431,8 @@ def q14_quality(spark, sf_dir):
     f = TX.quality_features(F.col("text"))
     return d.select(
         "doc_id",
-        f["n_chars"].alias("n_chars"),
-        f["n_words"].alias("n_words"),
+        f["n_chars"].cast("long").alias("n_chars"),
+        f["n_words"].cast("long").alias("n_words"),
         f["mean_word_len"].alias("mean_word_len"),
         f["punct_ratio"].alias("punct_ratio"),
         f["stopword_ratio"].alias("stopword_ratio"),
@@ -569,7 +569,7 @@ def q21_carry_forward(spark, sf_dir):
 def q22_position_index(spark, sf_dir):
     e = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select("event_id", F.row_number().over(w).alias("seq"))
+    return e.select("event_id", F.row_number().over(w).cast("long").alias("seq"))
 
 
 # =====================================================================
@@ -997,19 +997,63 @@ def q62_lsh_embed_near_dup(spark, sf_dir):
 # =====================================================================
 # Rows-only queries (no SQL oracle — non-relational or Spark-specific):
 # =====================================================================
-@query("q50_extract_pages")
+@query(
+    "q50_extract_pages",
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.com/doc/' || doc_id AS url,
+           'doc ' || doc_id AS title,
+           'doc ' || doc_id || ' ' || source || ' ' || text AS text,
+           chr(10) || '# ' || source || chr(10) || chr(10) || source ||
+             chr(10) || text || chr(10) || chr(10) || text AS markdown,
+           CAST(length('<html><head><title>doc ' || doc_id ||
+                       '</title></head><body><main><h1>' || source ||
+                       '</h1><p>' || text || '</p></main></body></html>')
+                // 4 AS BIGINT) AS token_count,
+           CAST(0 AS BIGINT) AS n_images
+    FROM documents
+    """,
+)
 def q50_extract_pages(spark, sf_dir):
-    """Flagship extraction pipeline on the synthetic pages table
-    (driver records a rows-only check; byte-level parity is covered
-    by tests/test_extract_spark.py)."""
+    """Flagship extraction pipeline, FULLY ORACLED: each document is
+    wrapped into a deterministic HTML page (title/h1/p — same wrap as
+    __spark_entry__.entry), the REAL extraction engine runs (stdlib-
+    parser DOM → clean → get_text → markdown, the contract of
+    contxt/scraper.py:263-322 + markdown_formatter.py:85-283), and
+    because the wrap is a closed-form concat of (source, doc_id,
+    text) with no markup-special characters in the synthetic corpus,
+    every product — title, extracted text, markdown (incl. the Q5
+    traversal quirk's h1-then-body repetition), char4 token count —
+    is a closed-form string expression the oracle recomputes in SQL.
+    Byte-level engine parity beyond this wrap is covered by
+    tests/test_extract_spark.py."""
     from ..functions.udfs import extract_pages
-    from ..sources.pages import pages_df
 
-    # repartition = shuffle boundary between the generator's Python
-    # stage and the extraction UDF stage; chaining two Python ops in
-    # one task serializes on Arrow back-pressure (see bench_scaling).
-    ex = extract_pages(pages_df(spark, 256).repartition(16))
-    return ex.select("url", "title", "token_count", "n_images")
+    d = _load(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><main><h1>"), F.col("source"),
+            F.lit("</h1><p>"), F.col("text"), F.lit("</p></main></body></html>"),
+        ).alias("html"),
+    )
+    ex = extract_pages(
+        pages, products=("title", "text", "markdown", "token_count", "n_images")
+    )
+    return ex.select(
+        "doc_id",
+        "url",
+        "title",
+        "text",
+        "markdown",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("n_images").cast("long").alias("n_images"),
+    )
 
 
 # q51 is registered further down, next to q58: its oracle wraps
@@ -1214,9 +1258,9 @@ def q61_pii_scrub(spark, sf_dir):
     counts = TX.pii_counts(t)
     return d.select(
         "doc_id",
-        counts["email"].alias("n_email"),
-        counts["phone"].alias("n_phone"),
-        counts["ip"].alias("n_ip"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ip"].cast("long").alias("n_ip"),
         F.md5(TX.scrub_pii(t)).alias("scrubbed_md5"),
     )
 
@@ -1612,7 +1656,7 @@ def q75_curation_run(spark, sf_dir):
         "lang",
         "text",
         TX.quality_score(F.col("text")).alias("quality"),
-        feats["n_words"].alias("n_tokens"),
+        feats["n_words"].cast("long").alias("n_tokens"),
     )
     filt = scored.filter(
         (F.col("quality") >= 0.8) & F.col("lang").isin("en", "de", "fr")
@@ -1734,11 +1778,13 @@ def q78_token_distribution(spark, sf_dir):
       FROM documents),
     r AS (
       SELECT doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS stream_offset
       FROM t)
-    SELECT doc_id, n_tokens, stream_offset, stream_offset // 512 AS bin_id
+    SELECT doc_id, n_tokens, stream_offset,
+           CAST(stream_offset // 512 AS BIGINT) AS bin_id
     FROM r
     """,
 )
@@ -1754,7 +1800,7 @@ def q76_pack_sequences(spark, sf_dir):
 
     d = _load(spark, sf_dir, "documents")
     feats = TX.quality_features(F.col("text"))
-    toks = d.select("doc_id", feats["n_words"].alias("n_tokens"))
+    toks = d.select("doc_id", feats["n_words"].cast("long").alias("n_tokens"))
     # block_size 100 → tens of blocks even at sf0.01: the cross-block
     # offset path is genuinely exercised, not a one-block degenerate
     return pack_sequences(toks, "doc_id", "n_tokens", capacity=512, block_size=100)

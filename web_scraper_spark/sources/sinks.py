@@ -104,15 +104,25 @@ def write_jsonl_shards(
     key within each shard, so two runs over the same data produce the
     same record→shard assignment and the same in-shard order —
     resumable downstream tokenization can trust shard identity.
-    One exchange on the shard id; the JSON encode and gzip happen
-    executor-side via Spark's native JSON writer (no Python)."""
+
+    The shard id is materialized ON DISK as a hive-style
+    ``_shard=N/`` directory (``partitionBy``), so the persisted shard
+    identity IS the documented pmod value — a bare
+    ``repartition(n, _shard)`` instead would re-hash the shard id
+    into part-file indices, letting several pmod shards collide into
+    one file while others come out empty. One exchange on the shard
+    id; the JSON encode and gzip happen executor-side via Spark's
+    native JSON writer (no Python)."""
     sharded = (
         df.withColumn("_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
         .repartition(n_shards, F.col("_shard"))
         .sortWithinPartitions("_shard", key_col)
-        .drop("_shard")
     )
-    writer = sharded.write.mode(mode)
+    # After the repartition every row of a given _shard sits in ONE
+    # task, sorted by (_shard, key); partitionBy then streams each
+    # shard's rows into its own directory preserving that order →
+    # exactly one sorted part file per non-empty _shard=N dir.
+    writer = sharded.write.mode(mode).partitionBy("_shard")
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
@@ -148,13 +158,19 @@ def bucketed_table(spark, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+def read_jsonl(spark, path: str, schema=None, keep_shard: bool = False) -> DataFrame:
     """Round-trip reader for :func:`write_jsonl_shards` output (schema
-    recommended at scale — inference scans the data)."""
+    recommended at scale — inference scans the data). The hive-style
+    ``_shard=N`` partition column is dropped unless ``keep_shard``;
+    filtering on it before dropping prunes whole shard directories at
+    planning time."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.json(path)
+    out = reader.json(path)
+    if not keep_shard and "_shard" in out.columns:
+        out = out.drop("_shard")
+    return out
 
 
 def console_sink(df: DataFrame, source_col: str = "url", content_col: str = "doc", n: int = 5) -> None:
