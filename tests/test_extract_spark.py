@@ -41,3 +41,47 @@ def test_pages_generator_deterministic(spark):
     assert sorted((r["url"], bytes(r["html"])) for r in a) == sorted(
         (r["url"], bytes(r["html"])) for r in b
     )
+
+
+def test_pruned_products_in_udf_counts_match_full_path(spark):
+    """extract_pages without the carrier columns: token_count/n_images
+    are computed inside the UDF (only ints cross Arrow) and must equal
+    the JVM-derived values of the full-product path; clean_html/images
+    must not appear in the pruned output at all. Null html rows keep
+    the full path's semantics (0 images, NULL token count)."""
+    from pyspark.sql import functions as F
+
+    n = 48
+    df = pages_df(spark, n)
+    full = {
+        r["url"]: r
+        for r in extract_pages(df)
+        .select("url", "title", "text", "token_count", "n_images")
+        .collect()
+    }
+    pruned_df = extract_pages(
+        df, products=("title", "text", "token_count", "n_images", "links")
+    )
+    assert "clean_html" not in pruned_df.columns
+    assert "images" not in pruned_df.columns
+    pruned = {
+        r["url"]: r
+        for r in pruned_df.select(
+            "url", "title", "text", "token_count", "n_images"
+        ).collect()
+    }
+    assert set(pruned) == set(full)
+    for url, want in full.items():
+        got = pruned[url]
+        assert (got["title"], got["text"], got["token_count"], got["n_images"]) == (
+            want["title"], want["text"], want["token_count"], want["n_images"]
+        ), url
+
+    nullrow = spark.createDataFrame(
+        [("https://x.example/", None)], "url string, html binary"
+    )
+    for prods in [None, ("token_count", "n_images")]:
+        r = extract_pages(nullrow, products=prods).select(
+            "token_count", "n_images"
+        ).collect()[0]
+        assert r["token_count"] is None and r["n_images"] == 0, prods

@@ -213,9 +213,24 @@ def run_round(
     # (broadcast → pages-side partitions; politeness output → ≤n_hosts
     # groups). Neither bounds extraction parallelism correctly, so
     # spread rows explicitly before the expensive UDF stage.
+    # PRUNED products: only what this round's sinks consume crosses
+    # Arrow — title/text/markdown for results, the in-UDF token_count/
+    # n_images counts for results+metrics, links for discovery. The
+    # carrier columns (clean_html, og_*, image structs) never ship,
+    # and the pre-repartition select keeps the exchange payload to the
+    # fetch columns the sinks actually read.
     par = spark.sparkContext.defaultParallelism
-    ok = fetched.filter(F.col("fetch_status") == "fetched").repartition(par)
-    extracted = extract_pages(ok, html_col="html", url_col="url").persist()
+    ok = (
+        fetched.filter(F.col("fetch_status") == "fetched")
+        .select("url", "host", "depth", "seq", "scheduled_offset_ms", "html")
+        .repartition(par)
+    )
+    extracted = extract_pages(
+        ok,
+        html_col="html",
+        url_col="url",
+        products=("title", "text", "markdown", "token_count", "n_images", "links"),
+    ).persist()
 
     rdir = _round_dir(cfg, round_id)
     # fetch_log: the politeness-ordered fetch ledger for the round —

@@ -79,6 +79,17 @@ def extract_page_record(html: str, url: str) -> dict:
 ALL_PRODUCTS = tuple(f.name for f in EXTRACTED_STRUCT.fields)
 
 
+# Counts computable inside the UDF from products the extraction
+# already materializes per-row — shipping a 4-byte int instead of the
+# whole carrier column (clean_html for token_count, the image structs
+# for n_images) across Arrow. Semantics are identical to the JVM
+# post-pass: char4 = len(clean_html) // 4, n_images = len(images).
+_COMPUTED = {
+    "token_count": (T.IntegerType(), lambda rec: len(rec["clean_html"]) // 4),
+    "n_images": (T.IntegerType(), lambda rec: len(rec["images"])),
+}
+
+
 def make_extract_udf(products: tuple[str, ...] = ALL_PRODUCTS):
     """Build a struct-returning extraction UDF restricted to the
     requested products — column pruning *through* the Arrow boundary.
@@ -87,25 +98,43 @@ def make_extract_udf(products: tuple[str, ...] = ALL_PRODUCTS):
     which extraction products it needs and the Arrow return stream
     carries only those columns (markdown/clean_html dominate the
     return volume; a counts-only consumer ships ~50x fewer bytes).
-    ``token_count``/``n_images`` consumers need ``clean_html``/
-    ``images`` respectively (added automatically by extract_pages).
+    Besides the raw EXTRACTED_STRUCT fields, the pseudo-products
+    ``token_count``/``n_images`` are computed per-row INSIDE the UDF —
+    the crawl hot path ships the counts without the carrier columns
+    (the per-row record materializes clean_html/images regardless; only
+    the Arrow transfer is saved).
     """
-    fields = [f for f in EXTRACTED_STRUCT.fields if f.name in set(products)]
-    schema = T.StructType(fields)
+    want = set(products)
+    fields = [f for f in EXTRACTED_STRUCT.fields if f.name in want]
+    computed = [
+        (n, fn)
+        for n, (dt, fn) in _COMPUTED.items()
+        if n in want and n not in {f.name for f in fields}
+    ]
+    schema = T.StructType(
+        fields + [T.StructField(n, _COMPUTED[n][0]) for n, _ in computed]
+    )
     names = [f.name for f in fields]
+    all_names = names + [n for n, _ in computed]
 
     @pandas_udf(schema)
     def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
         rows = []
         for h, u in zip(html, url):
             if h is None:
-                rows.append({n: ([] if n in ("images", "links") else None) for n in names})
+                row = {n: ([] if n in ("images", "links") else None) for n in names}
+                # match the JVM post-pass on null html: size([]) = 0
+                # images but a NULL token count (length(NULL) is NULL)
+                row.update({n: 0 if n == "n_images" else None for n, _ in computed})
+                rows.append(row)
                 continue
             if isinstance(h, (bytes, bytearray)):
                 h = bytes(h).decode("utf-8", errors="replace")
             rec = extract_page_record(h, u or "")
-            rows.append({n: rec[n] for n in names})
-        return pd.DataFrame(rows, columns=names)
+            row = {n: rec[n] for n in names}
+            row.update({n: fn(rec) for n, fn in computed})
+            rows.append(row)
+        return pd.DataFrame(rows, columns=all_names)
 
     return extract_udf
 
@@ -122,30 +151,41 @@ def extract_pages(
     """pages → extracted: one Arrow round-trip, then JVM-side products.
 
     ``products`` limits which extraction outputs cross the Arrow
-    boundary (None = all). token_count is computed from clean_html
-    with the reference's fallback estimator (len // 4,
-    contxt/scraper.py:423-426) as a pure Column expression so it stays
-    inside codegen; requesting it implies clean_html.
+    boundary (None = all). token_count uses the reference's fallback
+    estimator over clean_html (len // 4, contxt/scraper.py:423-426):
+    when clean_html is itself a requested product the count is a pure
+    Column expression over it (JVM, codegen — the tokenizer seam);
+    when it is NOT requested the count is computed inside the UDF and
+    only the int crosses Arrow — the crawl hot path never ships the
+    page-sized carrier column just to derive a count (the
+    extract-full-vs-pruned scaling gap in BENCH/BASELINE.md). Same
+    for n_images vs the images struct array.
     """
     want_tokens = products is None or "token_count" in products
     want_nimages = products is None or "n_images" in products
     if products is None:
-        prods = ALL_PRODUCTS
+        base = list(ALL_PRODUCTS)
     else:
-        prods = tuple(
-            dict.fromkeys(
-                [p for p in products if p in ALL_PRODUCTS]
-                + (["clean_html"] if want_tokens else [])
-                + (["images"] if want_nimages else [])
-            )
+        base = [p for p in products if p in ALL_PRODUCTS]
+    # carrier requested → JVM-side count over it (keeps the tokenizer
+    # seam swappable without touching the UDF); carrier absent →
+    # in-UDF pseudo-product, carrier never crosses Arrow
+    jvm_tokens = want_tokens and "clean_html" in base
+    jvm_nimages = want_nimages and "images" in base
+    udf_prods = tuple(
+        dict.fromkeys(
+            base
+            + (["token_count"] if want_tokens and not jvm_tokens else [])
+            + (["n_images"] if want_nimages and not jvm_nimages else [])
         )
-    udf = extract_page_udf if prods == ALL_PRODUCTS else make_extract_udf(prods)
+    )
+    udf = extract_page_udf if udf_prods == ALL_PRODUCTS else make_extract_udf(udf_prods)
     ex = udf(F.col(html_col), F.col(url_col))
     out = df.withColumn("_ex", ex)
-    for name in prods:
+    for name in udf_prods:
         out = out.withColumn(name, F.col(f"_ex.{name}"))
     out = out.drop("_ex", html_col)
-    if want_tokens:
+    if jvm_tokens:
         # A4 via the tokenizer seam: the char4 fallback matches the
         # reference's tiktoken-absent branch (contxt/scraper.py:423-426)
         # and compiles to a JVM expression; a real cluster swaps the
@@ -155,6 +195,6 @@ def extract_pages(
         out = out.withColumn(
             "token_count", token_count_column(F.col("clean_html"), Char4Encoder())
         )
-    if want_nimages:
+    if jvm_nimages:
         out = out.withColumn("n_images", F.size("images"))
     return out
