@@ -270,6 +270,69 @@ def test_duplicate_spans_merges_intervals(spark):
     assert 4 not in out
 
 
+def test_duplicate_spans_sampled_conservative_and_detects_long_dups(spark):
+    """Content-defined digest sampling (sample_mod>1): every sampled
+    span must be contained in an exact-mode span of the same doc
+    (sampled positions are a subset of flagged positions, same gap
+    rule), long duplicated regions are still detected even though the
+    two occurrences sit at DIFFERENT, non-aligned offsets (a
+    positional stride would miss them), and the emitted window volume
+    drops."""
+    from web_scraper_spark.operators.dedup import duplicate_spans
+
+    dup = " ".join(f"d{i}" for i in range(60))  # 53 8-windows
+    rows = [
+        (0, "a1 a2 a3 " + dup + " a4 a5"),  # region at token 3
+        (1, "b1 " + dup + " b2 b3 b4"),     # same region at token 1
+        (2, " ".join(f"u{i}" for i in range(40))),  # unique
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+
+    def spans(sdf):
+        out = {}
+        for r in sdf.collect():
+            out.setdefault(r["id"], []).append(
+                (r["span_start"], r["span_end"], r["n_windows"])
+            )
+        return out
+
+    brute = spans(duplicate_spans(df, "text", "id", window=8))
+    samp = spans(duplicate_spans(df, "text", "id", window=8, sample_mod=4))
+
+    # detection: P(all 53 window digests miss mod 4) = (3/4)^53 ≈ 2e-7,
+    # and the digests are fixed — both docs must report the region
+    assert 0 in samp and 1 in samp and 2 not in samp
+    # conservative: every sampled span inside some exact span
+    for doc, slist in samp.items():
+        for s, e, _n in slist:
+            assert any(bs <= s and e <= be for bs, be, _ in brute[doc]), (doc, s, e)
+    # volume drops
+    tot = lambda d: sum(n for sl in d.values() for _, _, n in sl)
+    assert tot(samp) < tot(brute)
+
+
+def test_span_family_persist_flag_row_identical(spark):
+    """persist=True must return exactly the same rows as the lazy
+    path, materialized (localCheckpoint → the returned plan scans an
+    existing RDD, proving the explode ran once and the cache was
+    releasable)."""
+    from web_scraper_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    for fn in (duplicate_span_stats, duplicate_spans):
+        lazy = fn(d, "text", "doc_id", window=8)
+        mat = fn(d, "text", "doc_id", window=8, persist=True)
+        assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, mat.collect()))
+        assert "ExistingRDD" in mat._jdf.queryExecution().executedPlan().toString()
+
+
 def test_ngram_contamination(spark):
     from web_scraper_spark.operators.dedup import (
         bench_ngram_digests,
@@ -542,6 +605,31 @@ def test_repetition_signals(spark):
     assert shares[1] == 1.0        # 'spam spam' is every bigram
     assert shares[2] == 0.25       # 4 distinct bigrams
     assert 3 not in shares         # <2 tokens -> no row (caller coalesces)
+
+
+def test_embedding_near_dups_unbucketed_row_guard(spark):
+    """Un-bucketed embedding_near_dups is an all-pairs self-join; it
+    must fail fast above max_unbucketed_rows (probe_seen's
+    fail-don't-melt contract), and the bucketed path must ignore the
+    bound entirely."""
+    import pytest
+
+    from web_scraper_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dups(
+            emb, "embedding", "vec_id", 0.9, max_unbucketed_rows=100
+        )
+    # bucketed: same tiny bound, no count, no raise
+    bucketed = emb.withColumn("bkt", F.col("vec_id") % 10)
+    assert (
+        embedding_near_dups(
+            bucketed, "embedding", "vec_id", 0.99,
+            bucket_col="bkt", max_unbucketed_rows=100,
+        ).count()
+        >= 0
+    )
 
 
 def test_lsh_embedding_multi_table_recall(spark):

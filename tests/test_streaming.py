@@ -306,6 +306,22 @@ def test_stream_near_dup_pairs_across_batches(spark, tmp_path):
     assert ("https://a.x/base", "https://b.x/near") in got
     assert all("other" not in a and "other" not in b for a, b in got), got
 
+    # precision of the verification estimator vs EXACT Jaccard: the
+    # 64-component independent-family estimator has std ≤ 0.0625, and
+    # the fixture digests are fixed — the estimate must sit within
+    # 3 std + quantization of the true value
+    def exact_j(x, y):
+        a, b = set(x.lower().split()), set(y.lower().split())
+        return len(a & b) / len(a | b)
+
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in read_near_dup_pairs(spark, pairs_dir).collect()
+    }
+    true_j = exact_j(base, near)
+    got_est = est[("https://a.x/base", "https://b.x/near")]
+    assert abs(got_est - true_j) <= 3 * 0.0625 + 1 / 64, (got_est, true_j)
+
     # restart: a near-dup of the batch-2 doc arrives — caught against
     # the persisted store without reprocessing old batches
     write_batch("b3", [("https://c.x/near2", near + " encore")])

@@ -62,16 +62,23 @@ def word_shingles(col: Column, n: int) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int, shingle_n: int = 1) -> Column:
+def minhash_signature(
+    col: Column, num_hashes: int, shingle_n: int = 1, salt: str = ""
+) -> Column:
     """MinHash signature as an array of hex-digest minima.
 
-    sig[k] = min over shingles s of md5(s ∥ '#' ∥ k). Lexicographic
-    min over md5 hex is a valid uniform hash family and is portable
-    to the SQL oracle. Entirely expression-level — no shuffle."""
+    sig[k] = min over shingles s of md5(s ∥ '#' ∥ salt ∥ k).
+    Lexicographic min over md5 hex is a valid uniform hash family and
+    is portable to the SQL oracle. Entirely expression-level — no
+    shuffle. ``salt`` selects an INDEPENDENT hash family (e.g. the
+    streaming near-dup verifier uses salt='v' so its estimator is not
+    correlated with the banding family that selected the candidates —
+    conditioning on a band collision biases the banding components
+    toward agreement)."""
     sh = word_shingles(col, shingle_n)
 
     def hash_k(k: int):
-        tag = f"#{k}"
+        tag = f"#{salt}{k}"
         # NB: must stay a unary lambda — F.transform treats a binary
         # lambda as (element, index), silently shadowing a default arg.
         return lambda s: F.md5(F.concat(s, F.lit(tag)))
@@ -329,8 +336,36 @@ def _n_windows(text: Column, window: int) -> Column:
     )
 
 
+def _sampled_window_rows(
+    df: DataFrame, text_col: str, id_col: str, window: int, sample_mod: int
+) -> DataFrame:
+    """(id, pos, h) window rows, optionally CONTENT-DEFINED sampled:
+    keep a window iff the first 16 bits of its md5 digest ≡ 0 mod
+    ``sample_mod`` (winnowing/Broder-style mod sampling). Because the
+    predicate depends only on window CONTENT, the same windows are
+    kept in every document that contains them — unlike a positional
+    stride, which misses duplicated regions whose occurrences are not
+    stride-aligned. Shuffle/aggregate volume drops ~``sample_mod``×;
+    a duplicated region with k complete windows is still detected
+    with probability 1 − (1 − 1/sample_mod)^k (≥ 95% at k ≥ 3·mod)."""
+    rows = _window_hash_rows(df, text_col, id_col, window)
+    if sample_mod > 1:
+        keep = (
+            F.conv(F.substring(F.col("h"), 1, 4), 16, 10).cast("long")
+            % sample_mod
+            == 0
+        )
+        rows = rows.filter(keep)
+    return rows
+
+
 def duplicate_span_stats(
-    df: DataFrame, text_col: str, id_col: str, window: int = 8, min_docs: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    min_docs: int = 2,
+    persist: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span statistics — the signal behind
     suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
@@ -344,12 +379,16 @@ def duplicate_span_stats(
     so a boilerplate window shared by N docs costs N rows in one
     aggregation group, not N². The per-doc denominator is a pure
     column expression (no explode). The window rows feed both the
-    shared-set aggregate and the semi-join; at corpus scale persist
-    them between the two consumers (kept lazy here — gate/test scale
-    recomputes cheaply). Returns
-    (id, n_windows, n_dup_windows, dup_fraction).
+    shared-set aggregate and the semi-join; ``persist=True`` caches
+    them between the two consumers and returns a materialized
+    (localCheckpoint'd) result so the cache can be released here —
+    the 100-TB setting, where re-running the token explode is a full
+    second corpus scan. Default off: gate/test scale recomputes
+    cheaply. Returns (id, n_windows, n_dup_windows, dup_fraction).
     """
     exploded = _window_hash_rows(df, text_col, id_col, window)
+    if persist:
+        exploded = exploded.persist()
     shared = (
         exploded.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))
@@ -365,7 +404,7 @@ def duplicate_span_stats(
         _n_windows(F.col(text_col), window).cast("long").alias("n_windows"),
     )
     nd = F.coalesce(F.col("n_dup_windows"), F.lit(0))
-    return totals.join(dup, "id", "left").select(
+    out = totals.join(dup, "id", "left").select(
         "id",
         "n_windows",
         nd.alias("n_dup_windows"),
@@ -373,10 +412,20 @@ def duplicate_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
     )
+    if persist:
+        out = out.localCheckpoint()
+        exploded.unpersist()
+    return out
 
 
 def duplicate_spans(
-    df: DataFrame, text_col: str, id_col: str, window: int = 8, min_docs: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    min_docs: int = 2,
+    sample_mod: int = 1,
+    persist: bool = False,
 ) -> DataFrame:
     """Merged duplicated-token INTERVALS per document — the span-level
     output of ExactSubstr dedup (which tokens to cut, not just how
@@ -386,10 +435,25 @@ def duplicate_spans(
     :func:`duplicate_span_stats` (one digest groupBy, no self-join)
     plus one per-doc ordering window (exchange on id only).
 
+    ``sample_mod`` > 1 enables content-defined digest sampling (see
+    :func:`_sampled_window_rows`): the shuffled window volume drops
+    ~mod× — the long-document lever at 100 TB. Reported spans are
+    then CONSERVATIVE: every sampled span is contained in some
+    exact-mode span (same windows, same gap rule — proven by test),
+    but short duplicated regions may be missed (detection prob
+    1 − (1 − 1/mod)^k for k complete windows) and long regions may
+    fragment where consecutive sampled windows sit > ``window``
+    apart. ``persist=True`` caches the window rows between the
+    shared-set aggregate and the semi-join (materialized result,
+    cache released before return), as in
+    :func:`duplicate_span_stats`.
+
     Returns (id, span_start, span_end, n_windows) in 0-based token
     coordinates, span_end inclusive.
     """
-    exploded = _window_hash_rows(df, text_col, id_col, window)
+    exploded = _sampled_window_rows(df, text_col, id_col, window, sample_mod)
+    if persist:
+        exploded = exploded.persist()
     shared = (
         exploded.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))
@@ -408,7 +472,7 @@ def duplicate_spans(
             w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return (
+    out = (
         grouped.groupBy("id", "_grp")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -417,6 +481,10 @@ def duplicate_spans(
         )
         .select("id", "span_start", "span_end", "n_windows")
     )
+    if persist:
+        out = out.localCheckpoint()
+        exploded.unpersist()
+    return out
 
 
 def bench_ngram_digests(bench_df: DataFrame, text_col: str, n: int = 13) -> DataFrame:
@@ -702,14 +770,29 @@ def embedding_near_dups(
     id_col: str,
     threshold: float,
     bucket_col: str | None = None,
+    max_unbucketed_rows: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ threshold).
 
     With ``bucket_col`` (e.g. an IVF/LSH bucket or a label) the
     self-join is restricted per bucket — the scale path. Without, it
-    is all-pairs and only suitable for ≤10^4 rows per partition.
-    Cosine is computed in double precision via zip_with+aggregate —
-    JVM-side, codegen-friendly."""
+    is ALL-PAIRS, so the call fails fast (ValueError) when the input
+    exceeds ``max_unbucketed_rows`` (one count job) — the same
+    fail-don't-melt contract as probe_seen's broadcast budget; a 10^6
+    row corpus reaching the quadratic join would be a 10^12-row
+    shuffle, not a slow query. Raise the bound (or pass a bucket
+    column) deliberately. Cosine is computed in double precision via
+    zip_with+aggregate — JVM-side, codegen-friendly."""
+    if bucket_col is None:
+        n = df.count()
+        if n > max_unbucketed_rows:
+            raise ValueError(
+                f"embedding_near_dups without bucket_col is an all-pairs "
+                f"self-join: input has {n} rows > max_unbucketed_rows="
+                f"{max_unbucketed_rows} (~{n * n:,} candidate pairs). Pass "
+                "bucket_col (IVF/LSH bucket) or raise max_unbucketed_rows "
+                "explicitly."
+            )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     base = df.select(

@@ -6,27 +6,41 @@ Exact streaming content dedup is a state-key lookup
 against everything seen so far, which engine-managed per-key state
 cannot express (a new doc must meet prior docs in any shared band
 bucket, then verify across buckets). The streaming-native shape is a
-``foreachBatch`` incremental index:
+``foreachBatch`` incremental index with a TWO-TABLE persistent store
+under ``store_dir``:
 
-- a persistent SIGNATURE STORE under ``store_dir`` holds one parquet
-  directory per micro-batch: (id, band, bucket, sig) rows — banded
-  MinHash keys plus the full signature;
-- each batch computes its own banded signatures JVM-side
-  (operators.dedup.minhash_signature — no shuffle), joins them against
-  the store ∪ itself on (band, bucket) — the same
-  bounded-by-collision-probability join as the batch LSH operator —
-  and VERIFIES candidates with the MinHash jaccard estimate
-  (fraction of agreeing signature components; no text retained);
-- outputs and store writes land in ``batch=<epoch_id>`` directories,
-  so a replayed micro-batch OVERWRITES its own output instead of
-  duplicating it — exactly-once under restart without a transaction
-  log.
+- ``bands/batch=<epoch>``: (id, band, bucket) banded MinHash keys —
+  the candidate-generation side; small fixed-width rows, no arrays;
+- ``sigs/batch=<epoch>``: (id, vsig) ONE row per doc — a
+  higher-resolution verification signature from an INDEPENDENT hash
+  family (salt='v'), stored once per doc rather than duplicated per
+  band.
 
-Scale notes: the store is banded keys + signatures only (≈ 100 bytes
-per doc per band at 16 hashes) — no document text; the per-batch join
-shuffles on (band, bucket); store reads prune to the banded-key
-columns. Compact the store periodically (coalesce batch dirs) the
-same way the crawl's seen-table compaction works.
+Each batch computes both JVM-side (operators.dedup.minhash_signature
+— no shuffle), joins its banded keys against the store ∪ itself on
+(band, bucket) — the same bounded-by-collision-probability join as
+the batch LSH operator — and VERIFIES candidates with the
+``verify_hashes``-component estimator: est = agreeing components /
+verify_hashes. This is the standard unbiased MinHash Jaccard
+estimator with KNOWN error (E[est] = J, Var = J(1−J)/K ⇒ std ≤
+0.5/√K, ≈ 0.0625 at K = 64) — unlike agreement over the 16-component
+BANDING signature, which is both coarse (1/16 granularity) and
+upward-biased among candidates (a band collision conditions those
+components toward agreement). Verified precision is tested against
+exact Jaccard in tests/test_streaming.py.
+
+Outputs and store writes land in ``batch=<epoch_id>`` directories, so
+a replayed micro-batch OVERWRITES its own output instead of
+duplicating it — exactly-once under restart without a transaction
+log.
+
+Scale notes: the bands table is ~40 bytes per doc per band; the sigs
+table is one ~2 KB row per doc at K = 64 (vs duplicating the array
+into every banded row). The per-batch join shuffles on (band,
+bucket); the verification joins broadcast the (tiny) candidate set
+against the doc-keyed sigs store. Compact both stores periodically
+(coalesce batch dirs) the same way the crawl's seen-table compaction
+works.
 """
 
 from __future__ import annotations
@@ -39,17 +53,19 @@ from pyspark.sql import functions as F
 from ..operators.dedup import minhash_signature
 
 _STORE_GLOB = "batch=*"
+_BANDS_SUB = "bands"
+_SIGS_SUB = "sigs"
 
 
-def _banded_sigs(
+def _band_rows(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
+    """(id, band, bucket) candidate keys — banding family (salt='')."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     return with_sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -69,7 +85,16 @@ def _banded_sigs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def _sig_rows(
+    df: DataFrame, text_col: str, id_col: str, verify_hashes: int
+) -> DataFrame:
+    """(id, vsig) one row per doc — verification family (salt='v'),
+    independent of the banding family by construction."""
+    vsig = minhash_signature(F.col(text_col), verify_hashes, salt="v")
+    return df.select(F.col(id_col).alias("id"), vsig.alias("vsig"))
 
 
 def make_near_dup_batch_fn(
@@ -80,66 +105,98 @@ def make_near_dup_batch_fn(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    verify_hashes: int = 64,
 ):
     """Build the ``foreachBatch`` function: each micro-batch emits
     (id_a, id_b, est_jaccard) pairs — candidates via banded-key join
-    against the store AND within the batch, verified by the MinHash
-    estimate (agreeing components / num_hashes ≥ threshold) — then
-    adds its own signatures to the store. Wire with
+    against the store AND within the batch, verified by the
+    independent ``verify_hashes``-component MinHash estimator (std ≤
+    0.5/√K; see module docstring) — then adds its own banded keys and
+    verification signatures to the store. Wire with
     ``writeStream.foreachBatch(fn)``."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        new = _banded_sigs(batch_df, text_col, id_col, num_hashes, bands).persist()
-        new.count()  # materialize once: store lookup + join both consume it
+        src = batch_df.persist()
+        new_bands = _band_rows(src, text_col, id_col, num_hashes, bands).persist()
+        new_sigs = _sig_rows(src, text_col, id_col, verify_hashes).persist()
+        new_bands.count()  # materialize: store join + store write both consume
+        new_sigs.count()
 
+        bands_dir = os.path.join(store_dir, _BANDS_SUB)
+        sigs_dir = os.path.join(store_dir, _SIGS_SUB)
         have_store = any(
-            e.startswith("batch=") for e in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+            e.startswith("batch=")
+            for e in (os.listdir(bands_dir) if os.path.isdir(bands_dir) else [])
         )
         if have_store:
-            old = spark.read.parquet(os.path.join(store_dir, _STORE_GLOB))
             # replay safety: a restarted batch must not see its own
             # previous (overwritten-in-flight) rows as "prior" docs
-            corpus = old.unionByName(new)
+            corpus_bands = spark.read.parquet(
+                os.path.join(bands_dir, _STORE_GLOB)
+            ).unionByName(new_bands)
+            corpus_sigs = spark.read.parquet(
+                os.path.join(sigs_dir, _STORE_GLOB)
+            ).unionByName(new_sigs)
         else:
-            corpus = new
-        a = new.alias("a")
-        b = corpus.alias("b")
+            corpus_bands = new_bands
+            corpus_sigs = new_sigs
+        # a replayed epoch's docs exist in BOTH the store and `new`;
+        # vsig is deterministic per id, so keep one row per doc or the
+        # verification joins would fan out duplicate pairs
+        corpus_sigs = corpus_sigs.dropDuplicates(["id"])
+
+        # normalize with least/greatest, NOT a.id < b.id: the new doc's
+        # id can sort either side of a stored doc's, and the probe side
+        # is always `new` — an order filter would silently drop pairs
+        # where the newcomer has the larger id
+        cands = (
+            new_bands.alias("a")
+            .join(corpus_bands.alias("b"), on=["band", "bucket"])
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .distinct()
+        )
         est = (
             F.aggregate(
                 F.zip_with(
-                    F.col("a.sig"), F.col("b.sig"),
+                    F.col("va"), F.col("vb"),
                     lambda x, y: F.when(x == y, 1).otherwise(0),
                 ),
                 F.lit(0),
                 lambda acc, x: acc + x,
             )
-            / F.lit(num_hashes)
+            / F.lit(verify_hashes)
         )
-        # normalize with least/greatest, NOT a.id < b.id: the new doc's
-        # id can sort either side of a stored doc's, and the probe side
-        # is always `new` — an order filter would silently drop pairs
-        # where the newcomer has the larger id
         pairs = (
-            a.join(b, on=["band", "bucket"])
-            .filter(F.col("a.id") != F.col("b.id"))
-            .select(
-                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-                F.round(est, 6).alias("est_jaccard"),
+            cands.join(
+                corpus_sigs.select(F.col("id").alias("id_a"), F.col("vsig").alias("va")),
+                "id_a",
             )
+            .join(
+                corpus_sigs.select(F.col("id").alias("id_b"), F.col("vsig").alias("vb")),
+                "id_b",
+            )
+            .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold)
-            .distinct()
         )
         # batch=<epoch> targets make replays idempotent: a retried
         # epoch overwrites its own directories, never appends twice
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={epoch_id}")
         )
-        new.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={epoch_id}")
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch={epoch_id}")
         )
-        new.unpersist()
+        new_sigs.write.mode("overwrite").parquet(
+            os.path.join(sigs_dir, f"batch={epoch_id}")
+        )
+        new_bands.unpersist()
+        new_sigs.unpersist()
+        src.unpersist()
 
     return process
 
