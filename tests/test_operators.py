@@ -632,6 +632,29 @@ def test_embedding_near_dups_unbucketed_row_guard(spark):
     )
 
 
+def test_embedding_near_dups_arrow_matches_expr(spark):
+    """The per-bucket BLAS path (method='arrow') must produce the
+    exact same (id_a, id_b, cosine-rounded-6) set as the expression
+    path on the gate fixture — the throughput path may not drift from
+    the oracle-portable one."""
+    from web_scraper_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups(
+            emb, "embedding", "vec_id", 0.35, bucket_col="label"
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups(
+            emb, "embedding", "vec_id", 0.35, bucket_col="label", method="arrow"
+        ).collect()
+    }
+    assert expr and arrow == expr
+
+
 def test_lsh_embedding_multi_table_recall(spark):
     """Multi-table sign-LSH amplification: T=6 tables of 6 planes must
     recover most high-cosine pairs that a single table misses, and

@@ -322,8 +322,19 @@ def test_stream_near_dup_pairs_across_batches(spark, tmp_path):
     got_est = est[("https://a.x/base", "https://b.x/near")]
     assert abs(got_est - true_j) <= 3 * 0.0625 + 1 / 64, (got_est, true_j)
 
-    # restart: a near-dup of the batch-2 doc arrives — caught against
-    # the persisted store without reprocessing old batches
+    # compact the two-table store (bands + sigs fold to one batch dir
+    # each), then restart: a near-dup of the batch-2 doc arrives — it
+    # must be caught against the COMPACTED store without reprocessing
+    # old batches
+    import glob as _glob
+
+    from web_scraper_spark.streaming.neardup import compact_near_dup_store
+
+    st = compact_near_dup_store(spark, store)
+    assert st["bands_dirs"] >= 2 and st["sigs_dirs"] >= 2
+    assert len(_glob.glob(store + "/bands/batch=*")) == 1
+    assert len(_glob.glob(store + "/sigs/batch=*")) == 1
+
     write_batch("b3", [("https://c.x/near2", near + " encore")])
     got2 = run()
     assert ("https://b.x/near", "https://c.x/near2") in got2

@@ -204,3 +204,47 @@ def make_near_dup_batch_fn(
 def read_near_dup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """All pairs emitted so far (union of the per-batch outputs)."""
     return spark.read.parquet(os.path.join(pairs_dir, _STORE_GLOB))
+
+
+def compact_near_dup_store(
+    spark: SparkSession, store_dir: str, out_partitions: int = 8
+) -> dict:
+    """Fold the per-epoch batch dirs of both store tables into one
+    ``batch=compacted`` dir each — the small-files lever after many
+    micro-batches (same role as the crawl's seen-table compaction).
+
+    Crash-safe ordering: the compacted data is fully written to a
+    temp dir FIRST, renamed into a glob-visible ``batch=compacted``
+    dir, and only then are the old batch dirs removed — a crash at
+    any point leaves the store readable (worst case: duplicate rows
+    across compacted + uncompacted dirs, which the batch function
+    already tolerates — bands feed a ``distinct()`` candidate set and
+    sigs are ``dropDuplicates(id)``). A replayed epoch re-creating
+    its batch dir after compaction duplicates rows the same benign
+    way. Returns {"bands_dirs": n, "sigs_dirs": n} folded."""
+    import shutil
+
+    stats = {}
+    for sub, keys in ((_BANDS_SUB, ["id", "band"]), (_SIGS_SUB, ["id"])):
+        d = os.path.join(store_dir, sub)
+        dirs = [e for e in os.listdir(d)] if os.path.isdir(d) else []
+        dirs = [e for e in dirs if e.startswith("batch=")]
+        stats[f"{sub}_dirs"] = len(dirs)
+        if len(dirs) <= 1:
+            continue
+        tmp = os.path.join(d, ".compact_tmp")
+        final = os.path.join(d, "batch=compacted")
+        (
+            spark.read.parquet(os.path.join(d, _STORE_GLOB))
+            .dropDuplicates(keys)
+            .coalesce(out_partitions)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        for e in dirs:
+            if e != "batch=compacted":
+                shutil.rmtree(os.path.join(d, e))
+    return stats
