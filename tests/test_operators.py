@@ -270,6 +270,36 @@ def test_duplicate_spans_merges_intervals(spark):
     assert 4 not in out
 
 
+def test_remove_duplicate_spans_cuts_located_intervals(spark):
+    """ExactSubstr APPLY: cutting the spans duplicate_spans located
+    leaves exactly the uncovered tokens, in order; fully-covered docs
+    come back empty; docs with no spans pass through normalized."""
+    from web_scraper_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "a c d e f g q r x y z"),
+        (2, "c d e f g"),
+        (3, "p x y z"),
+        (4, "unrelated words only"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    spans = duplicate_spans(df, "text", "id", window=3, min_docs=2)
+    out = {r["id"]: r for r in remove_duplicate_spans(df, spans, "text", "id").collect()}
+    # doc 1: spans [1,5] and [8,10] cut → tokens a(0) q(6) r(7) remain
+    assert out[1]["clean_text"] == "a q r"
+    assert out[1]["n_tokens_kept"] == 3 and out[1]["n_tokens_removed"] == 8
+    # doc 2 fully covered
+    assert out[2]["clean_text"] == "" and out[2]["n_tokens_kept"] == 0
+    # doc 3: span [1,3] cut → 'p'
+    assert out[3]["clean_text"] == "p"
+    # doc 4 untouched (normalized join)
+    assert out[4]["clean_text"] == "unrelated words only"
+    assert out[4]["n_tokens_removed"] == 0
+
+
 def test_duplicate_spans_sampled_conservative_and_detects_long_dups(spark):
     """Content-defined digest sampling (sample_mod>1): every sampled
     span must be contained in an exact-mode span of the same doc

@@ -885,6 +885,76 @@ def _embedding_near_dups_arrow(
     return base.groupBy("_bkt").applyInPandas(bucket_pairs, out_schema)
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """APPLY ExactSubstr dedup: cut the duplicated token intervals out
+    of each document — the step after :func:`duplicate_spans` locates
+    them (Lee et al. 2022 remove the duplicated substring from all
+    but one occurrence; this removes every located span — pass spans
+    filtered to the occurrences you want cut, e.g. anti-joined
+    against a keeper per digest, for the keep-one policy).
+
+    Coordinates are the NORMALIZED token positions duplicate_spans
+    emits (0-based, span_end inclusive, over normalize_text tokens),
+    so the returned ``clean_text`` is normalized tokens re-joined
+    with single spaces. Scale shape: tokens explode once, one
+    LEFT-ANTI range join against the (small, per-doc) span set on the
+    doc id, one groupBy(id) to reassemble — shuffles only on the doc
+    id, order restored via array_sort on (pos, token) structs (never
+    collect_list order). Docs with every token covered return
+    ``clean_text = ''``; docs with no spans pass through normalized.
+
+    Returns (id, clean_text, n_tokens_kept, n_tokens_removed).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    sp = spans.select(
+        F.col("id").alias("s_id"),
+        F.col("span_start").alias("s0"),
+        F.col("span_end").alias("s1"),
+    )
+    kept = toks.join(
+        sp,
+        (F.col("id") == F.col("s_id"))
+        & (F.col("pos") >= F.col("s0"))
+        & (F.col("pos") <= F.col("s1")),
+        "left_anti",
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long").alias("_n"),
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_tokens_kept"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
+            (F.col("_n") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
 def simhash32_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash over the md5 hash family — engine-portable (the
     per-token hash is the first 8 hex chars of md5, so a SQL oracle
