@@ -662,6 +662,31 @@ def test_embedding_near_dups_unbucketed_row_guard(spark):
     )
 
 
+def test_ivf_assign_arrow_matches_expr(spark):
+    """The mapInPandas/BLAS assignment twin must reproduce
+    ivf_assign's (vector → centroid) mapping exactly on the gate
+    fixture, including the lowest-cid tie-break."""
+    from web_scraper_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = label_centroids(emb, "embedding", "label").withColumnRenamed(
+        "centroid", "embedding"
+    )
+    expr = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, "embedding", "vec_id", cents).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_arrow(emb, "embedding", "vec_id", cents).collect()
+    }
+    assert expr and arrow == expr
+
+
 def test_embedding_near_dups_arrow_matches_expr(spark):
     """The per-bucket BLAS path (method='arrow') must produce the
     exact same (id_a, id_b, cosine-rounded-6) set as the expression

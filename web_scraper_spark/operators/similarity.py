@@ -57,6 +57,59 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_assign_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    cent_id: str = "centroid_id",
+) -> DataFrame:
+    """Arrow/BLAS twin of :func:`ivf_assign`: the centroid matrix
+    (tiny by definition — it is the k of k-means) is collected once
+    and closed over a ``mapInPandas`` pass that scores every batch
+    with ONE ``V @ C.T`` matmul and arg-maxes with the same
+    (max cosine, lowest centroid id) tie-break. No shuffle at all —
+    the corpus is never joined, only mapped — which makes this the
+    assignment inner loop for IVF builds / Lloyd iterations at scale
+    (the expression path's per-(row × centroid) interpreted HOF dot
+    is the q64-profile cost). Row-identical to ivf_assign on the gate
+    fixture by test; oracle-gated queries keep the expression path."""
+    import numpy as np
+
+    rows = centroids.select(
+        F.col(cent_id).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    ).collect()
+    rows.sort(key=lambda r: r["_cid"])  # ascending cid → argmax tie → lowest
+    cids = np.array([r["_cid"] for r in rows])
+    cmat = np.stack([np.asarray(r["_cv"], dtype=np.float64) for r in rows])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cid_field = centroids.schema[cent_id].dataType
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("centroid_id", cid_field)]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            vn = np.sqrt((v * v).sum(axis=1))
+            cos = (v @ cmat.T) / np.outer(vn, cnorm)
+            best = cos.argmax(axis=1)  # first max = lowest cid on ties
+            out = pdf.copy()
+            out["centroid_id"] = pd.Series(cids[best], index=pdf.index)
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame, cent_id: str = "centroid_id"
 ) -> DataFrame:
@@ -65,7 +118,8 @@ def ivf_assign(
     ``centroids`` (small) is broadcast; assignment is a broadcast
     join + per-row argmax — no shuffle of the corpus. This is the
     build step of an IVF index; persist the result partitioned by
-    centroid for repeated queries."""
+    centroid for repeated queries. See :func:`ivf_assign_arrow` for
+    the BLAS twin used at corpus scale."""
     c = centroids.select(
         F.col(cent_id).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
