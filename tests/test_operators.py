@@ -157,6 +157,69 @@ def test_global_running_total_exact_above_2_53(spark):
     assert got == want
 
 
+def test_hash_split_disjoint_exhaustive_deterministic(spark):
+    """Fold assignment: every row gets exactly one fold, folds are
+    disjoint by construction, proportions are approximately honored,
+    assignment is identical across reruns/parallelism, and it is
+    independent of the sampling salt."""
+    from web_scraper_spark.operators.relational import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(d, "doc_id", fr)
+    rows = {r["doc_id"]: r["fold"] for r in out.collect()}
+    assert len(rows) == d.count()
+    assert set(rows.values()) <= {"train", "val", "test"}  # exhaustive (sums to 1)
+    n = len(rows)
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert abs(c["train"] / n - 0.8) < 0.1 and c["val"] > 0 and c["test"] > 0
+    # deterministic across partitioning
+    rows2 = {
+        r["doc_id"]: r["fold"]
+        for r in hash_split(d.repartition(13), "doc_id", fr).collect()
+    }
+    assert rows == rows2
+    # independent of the sampling decision (different salt)
+    samp = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 500_000).collect()}
+    in_train = sum(1 for i in samp if rows[i] == "train") / len(samp)
+    assert abs(in_train - 0.8) < 0.12  # sample is not correlated with folds
+
+    import pytest
+
+    with pytest.raises(ValueError, match="> 1.0"):
+        hash_split(d, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_take_token_budget_prefix_semantics(spark):
+    """Budget truncation keeps docs in id order while the tokens
+    BEFORE each doc fit the budget — the boundary doc that crosses is
+    kept, later docs are not; parallelism-independent."""
+    from web_scraper_spark.operators.relational import take_token_budget
+
+    rows = [(i, 10) for i in range(100)]  # 10 tokens per doc
+    df = spark.createDataFrame(rows, "id long, n long")
+    kept = sorted(
+        r["id"] for r in take_token_budget(df, "id", "n", budget=55).collect()
+    )
+    # running_before: doc k has 10k before it; kept while 10k < 55 → k<=5
+    assert kept == [0, 1, 2, 3, 4, 5]
+    kept2 = sorted(
+        r["id"]
+        for r in take_token_budget(df.repartition(7), "id", "n", budget=55).collect()
+    )
+    assert kept2 == kept
+    # exact boundary: doc whose prefix equals the budget is NOT kept
+    kept3 = sorted(
+        r["id"] for r in take_token_budget(df, "id", "n", budget=50).collect()
+    )
+    assert kept3 == [0, 1, 2, 3, 4]
+
+
 def test_jaccard_pairs_rejects_candidates_plus_df_cap(spark):
     """candidates and max_doc_freq are mutually exclusive — the
     candidates branch would silently ignore the cap."""

@@ -294,3 +294,58 @@ def stratified_hash_sample(
         rate = F.when(cond, F.lit(v)) if rate is None else rate.when(cond, F.lit(v))
     rate = F.lit(default_ppm) if rate is None else rate.otherwise(F.lit(default_ppm))
     return df.filter(_ppm_bucket(key_col, salt) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict,
+    salt: str = "split",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic train/val/test fold assignment: each row's fold
+    is decided by which DISJOINT ppm range its md5 bucket falls into
+    (ranges laid out in sorted fold-name order). Pure expression — no
+    shuffle, no RNG; the same row lands in the same fold at any
+    parallelism, on any engine, across reruns, and folds are exactly
+    disjoint by construction (a row can never appear in two folds,
+    the failure mode of per-fold independent sampling). Fractions
+    must sum to ≤ 1.0; any remainder gets fold NULL (drop or treat as
+    holdout). Uses the same bucket function as
+    :func:`deterministic_sample` (different default salt, so splits
+    are independent of sampling decisions)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1.0")
+    bucket = _ppm_bucket(key_col, salt)
+    lo = 0
+    expr = None
+    for name, frac in sorted(fractions.items()):
+        hi = lo + int(round(frac * 1_000_000))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    expr = expr.otherwise(F.lit(None).cast("string"))
+    return df.withColumn(fold_col, expr)
+
+
+def take_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    block_size: int = 100_000,
+) -> DataFrame:
+    """Deterministic token-budget truncation: keep documents, in
+    ``id_col`` order, until the running token total reaches
+    ``budget`` — "the first N-token slice of the corpus", the shape a
+    fixed-budget training run or a proportional data-mixture recipe
+    needs. A document is kept iff the tokens BEFORE it fit strictly
+    inside the budget (so the boundary doc that crosses the budget is
+    the last one kept, matching concat-then-truncate semantics).
+    Built on :func:`global_running_total` — distributes, same rows at
+    any parallelism; ``id_col`` must satisfy its unique-key contract.
+    For an unbiased random slice rather than a prefix, hash-order ids
+    first (e.g. xxhash64 of the natural key)."""
+    r = global_running_total(df, id_col, tokens_col, block_size)
+    return r.filter(F.col("running_before") < budget).drop("running_before")
