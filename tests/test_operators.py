@@ -645,6 +645,53 @@ def test_canonical_url_semantics_and_idempotence(spark):
     assert all(k == v for k, v in got2.items()), got2
 
 
+def test_gopher_line_para_dup_fractions(spark):
+    """Line/paragraph duplicate fractions (pure expressions): repeated
+    lines count beyond their first occurrence, char fractions weight
+    by unit length, empty units are dropped, and a clean doc scores
+    zero everywhere."""
+    from web_scraper_spark.operators.text import line_dup_fractions
+
+    docs = [
+        # 4 lines, 'dup' twice → dup_line_frac 1/4; para split on the
+        # blank line: ['dup\ndup\nunique', 'tail'] — distinct → 0
+        (1, "dup\ndup\nunique\n\ntail"),
+        (2, "a\nb\nc"),
+        # same paragraph twice → dup_para_frac 1/2; char frac 11/22
+        (3, "para one x\n\npara one x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    fr = line_dup_fractions(F.col("text"))
+    out = {r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in fr.items()]).collect()}
+    assert out[1]["dup_line_frac"] == 0.25
+    # chars: dup(3)+dup(3)+unique(6)+tail(4)=16 total; distinct 13 → 3/16
+    assert out[1]["dup_line_char_frac"] == round(3 / 16, 4)
+    assert out[1]["dup_para_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_para_char_frac"] == 0.0
+    assert out[3]["dup_para_frac"] == 0.5
+    assert out[3]["dup_para_char_frac"] == 0.5
+    # lines of doc 3: 'para one x', '', 'para one x' → empty dropped,
+    # one dup of two units
+    assert out[3]["dup_line_frac"] == 0.5
+    assert out[4]["dup_line_frac"] == 0.0 and out[4]["dup_line_char_frac"] == 0.0
+
+
+def test_top_ngram_char_share(spark):
+    """Most-frequent-bigram character share: occurrences × gram chars
+    over normalized text chars; short docs emit no row."""
+    from web_scraper_spark.operators.text import top_ngram_char_share
+
+    docs = [
+        (1, "ab cd ab cd ab"),  # bigram 'ab cd' ×2 (len 5), text len 14
+        (2, "x"),               # 1 token → no row
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    out = {r["id"]: r["char_share"] for r in top_ngram_char_share(df, "text", "id", 2).collect()}
+    assert out[1] == round(2 * 5 / 14, 6)
+    assert 2 not in out
+
+
 def test_script_ratios_dominance_and_ties(spark):
     from web_scraper_spark.operators.text import script_ratios
 
