@@ -1,0 +1,80 @@
+"""End-to-end curation pipeline: the operator chain a production
+training-data run composes (quality → lang → exact dedup → fuzzy
+dedup → decontamination → rebalance → split), asserted stage by
+stage on a corpus with injected duplicates and contamination."""
+
+from pyspark.sql import functions as F
+
+from web_scraper_spark.pipelines import CurationConfig, curate
+
+
+def _base(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", "lang")
+    )
+
+
+def test_curate_full_chain(spark):
+    d = _base(spark)
+    # inject: an exact duplicate of doc 0, a near-duplicate of doc 1,
+    # and treat doc 2's text as a "benchmark" document (contaminates
+    # doc 2 itself and any 13-gram overlap)
+    row0 = d.filter(F.col("doc_id") == 0).select("text", "lang").collect()[0]
+    row1 = d.filter(F.col("doc_id") == 1).select("text", "lang").collect()[0]
+    near1 = row1["text"] + " extra tail token"
+    inj = spark.createDataFrame(
+        [
+            (100000, row0["text"], row0["lang"]),   # exact dup of 0
+            (100001, near1, row1["lang"]),          # near dup of 1
+        ],
+        "doc_id long, text string, lang string",
+    )
+    corpus = d.unionByName(inj)
+    bench = d.filter(F.col("doc_id") == 2).select("text")
+
+    cfg = CurationConfig(
+        min_quality=0.0,          # keep the gate permissive: dedup focus
+        fuzzy=True,
+        jaccard_threshold=0.8,
+        bench_df=bench,
+        split_fractions={"train": 0.9, "val": 0.1},
+    )
+    out = curate(corpus, "text", "doc_id", "lang", cfg)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    assert 0 in ids and 100000 not in ids          # exact dup dropped, keeper is min id
+    assert 1 in ids and 100001 not in ids          # fuzzy loser dropped
+    assert 2 not in ids                            # contaminated vs bench
+    assert ids <= {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    cols = out.columns
+    assert "quality" in cols and "fold" in cols and "content_hash" not in cols
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds <= {"train", "val"}
+
+    # deterministic at different parallelism
+    out2 = curate(corpus.repartition(17), "text", "doc_id", "lang", cfg)
+    ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert ids == ids2
+
+
+def test_curate_stage_toggles(spark):
+    d = _base(spark)
+    # lang gate + rebalance only; no fuzzy, no bench, no split
+    cfg = CurationConfig(
+        min_quality=0.0,
+        langs=["en", "de"],
+        fuzzy=False,
+        rates_ppm={"en": 250_000},   # downsample en, keep de whole
+    )
+    out = curate(d, "text", "doc_id", "lang", cfg)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    n_en_in = d.filter(F.col("lang") == "en").count()
+    n_en_out = out.filter(F.col("lang") == "en").count()
+    n_de_in = d.filter(F.col("lang") == "de").count()
+    n_de_out = out.filter(F.col("lang") == "de").count()
+    assert n_de_out == n_de_in                     # default_ppm keeps strata whole
+    assert 0 < n_en_out < n_en_in                  # en downsampled
+    assert "fold" not in out.columns

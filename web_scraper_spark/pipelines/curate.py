@@ -1,0 +1,130 @@
+"""End-to-end training-corpus curation — the operators composed the
+way a production run chains them (the reusable twin of the q75/q70
+gate compositions):
+
+    quality gate → language gate → exact dedup → fuzzy dedup
+    (MinHash-LSH → Jaccard verify → connected components → survivor
+    election) → benchmark decontamination → stratified rebalance →
+    fold split
+
+Every stage is one of this package's tested operators; this module
+only sequences them, so the scale shapes are the ones documented (and
+plan-tested) on each operator: digest-keyed exchanges, banded-key
+LSH shuffles, broadcast decontamination, pure-expression sampling and
+splitting. Nothing here collects data-plane rows to the driver.
+
+Determinism: every stage is a pure function of the data (hash
+sampling/splitting, lowest-id survivor election), so the same input
+yields the same curated corpus at any parallelism — the property the
+whole repo's oracles gate on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..operators.dedup import (
+    bench_ngram_digests,
+    connected_components,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    ngram_contamination,
+)
+from ..operators.relational import hash_split, stratified_hash_sample
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.5
+    langs: list[str] | None = None          # None = keep all languages
+    fuzzy: bool = True                      # LSH → Jaccard → components
+    jaccard_threshold: float = 0.8
+    lsh_num_hashes: int = 16
+    lsh_bands: int = 8
+    max_bucket_size: int | None = 2000      # LSH hot-bucket guard
+    bench_df: DataFrame | None = None       # decontamination corpus
+    bench_text_col: str = "text"
+    contamination_n: int = 13
+    rates_ppm: dict = field(default_factory=dict)   # per-lang rebalance
+    default_ppm: int = 1_000_000            # strata not listed: keep all
+    split_fractions: dict | None = None     # e.g. {"train":.98,"val":.01,"test":.01}
+
+
+def curate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    cfg: CurationConfig,
+) -> DataFrame:
+    """Run the curation chain over ``df``; returns the curated corpus
+    with the original columns plus ``quality`` (score that gated the
+    row) and, when ``cfg.split_fractions`` is set, a ``fold`` column.
+    Stages toggle off naturally: no ``bench_df`` → no decontamination
+    scan; empty ``rates_ppm`` with the keep-all default → no
+    rebalance filter; ``fuzzy=False`` → exact dedup only."""
+    # 1-2. quality + language gates: pure column predicates — these
+    # run inside the scan's WholeStageCodegen and prune early.
+    out = df.withColumn("quality", TX.quality_score(F.col(text_col))).filter(
+        F.col("quality") >= cfg.min_quality
+    )
+    if cfg.langs is not None:
+        out = out.filter(F.col(lang_col).isin(*cfg.langs))
+
+    # 3. exact dedup (first-seen by lowest id on the md5 digest).
+    out = exact_dedup(out, text_col, id_col).drop("content_hash")
+
+    # 4. fuzzy dedup: candidates only ever come from LSH buckets;
+    # survivors are each component's minimum id (the same election
+    # the q70 gate entry oracles).
+    if cfg.fuzzy:
+        cands = minhash_lsh_candidates(
+            out,
+            text_col,
+            id_col,
+            num_hashes=cfg.lsh_num_hashes,
+            bands=cfg.lsh_bands,
+            max_bucket_size=cfg.max_bucket_size,
+        )
+        pairs = jaccard_pairs(
+            out, text_col, id_col, cfg.jaccard_threshold, candidates=cands
+        )
+        comps = connected_components(pairs)
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        out = out.join(losers, id_col, "left_anti")
+
+    # 5. decontamination: benchmark digests broadcast; corpus never
+    # shuffles for this check.
+    if cfg.bench_df is not None:
+        bench = bench_ngram_digests(
+            cfg.bench_df, cfg.bench_text_col, n=cfg.contamination_n
+        )
+        flags = ngram_contamination(
+            out, text_col, id_col, bench, n=cfg.contamination_n
+        )
+        dirty = flags.filter(F.col("contaminated")).select(
+            F.col("id").alias(id_col)
+        )
+        out = out.join(F.broadcast(dirty), id_col, "left_anti")
+
+    # 6. stratified rebalance: pure-expression ppm buckets, rates nest.
+    if cfg.rates_ppm:
+        out = stratified_hash_sample(
+            out,
+            id_col,
+            lang_col,
+            cfg.rates_ppm,
+            default_ppm=cfg.default_ppm,
+        )
+
+    # 7. fold split: disjoint ppm ranges, exactly one fold per row.
+    if cfg.split_fractions:
+        out = hash_split(out, id_col, cfg.split_fractions)
+    return out
