@@ -78,3 +78,46 @@ def test_minibpe_arrow_udf_path_matches_driver(spark):
     assert not hasattr(enc, "as_column")
     plan = df.select(col.alias("n"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "Python" in plan
+
+
+def test_token_ids_column_closed_vocab_and_packing(spark):
+    """token_ids_column: ids round-trip the driver encoder exactly,
+    the vocabulary is closed (byte ids < 256, merged ids = 256+rank),
+    NULL text stays NULL, counting-only encoders raise, and the array
+    sizes feed pack_sequences end-to-end (tokenize → pack)."""
+    import pytest
+
+    from web_scraper_spark.functions.tokenizer import (
+        Char4Encoder,
+        MiniBPE,
+        token_ids_column,
+    )
+    from web_scraper_spark.operators.relational import pack_sequences
+
+    enc = MiniBPE()
+    rows = [(i, t) for i, t in enumerate(SAMPLES)] + [(99, None)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r["i"]: r["ids"]
+        for r in df.select("i", token_ids_column(F.col("t"), enc).alias("ids")).collect()
+    }
+    for i, t in enumerate(SAMPLES):
+        assert out[i] == enc.encode_ids(t), t
+        assert all(x < 256 + len(enc.ranks) for x in out[i])
+        # ids decode consistently: count equals the token count
+        assert len(out[i]) == enc.count(t)
+    assert out[99] is None
+
+    with pytest.raises(ValueError, match="no integer id vocabulary"):
+        token_ids_column(F.col("t"), Char4Encoder())
+
+    # tokenize → pack: bin ids follow the cumulative id-array sizes
+    ids_df = df.filter(F.col("t").isNotNull()).select(
+        "i", F.size(token_ids_column(F.col("t"), enc)).cast("long").alias("n")
+    )
+    packed = {r["i"]: r for r in pack_sequences(ids_df, "i", "n", capacity=8).collect()}
+    offset = 0
+    for i, t in enumerate(SAMPLES):
+        assert packed[i]["stream_offset"] == offset
+        assert packed[i]["bin_id"] == offset // 8
+        offset += len(enc.encode_ids(t))

@@ -143,6 +143,21 @@ class MiniBPE:
     def count(self, text: str) -> int:
         return len(self.encode(text))
 
+    def encode_ids(self, text: str) -> list[int]:
+        """Integer token ids with a CLOSED deterministic vocabulary:
+        a merged piece is, by construction, either a single byte
+        (id = byte value, 0-255) or a concatenation present in the
+        merge table (id = 256 + rank). No OOV is possible, ids are
+        stable across processes, and the id space is dense — the
+        shape a training-data exporter needs."""
+        ids: list[int] = []
+        for tok in self.encode(text):
+            if len(tok) == 1:
+                ids.append(tok[0])
+            else:
+                ids.append(256 + self.ranks[tok])
+        return ids
+
 
 class _TiktokenEncoder:  # pragma: no cover - tiktoken absent in sandbox
     name = "tiktoken"
@@ -203,3 +218,35 @@ def token_count_column(col: Column, encoder: Encoder | None = None) -> Column:
         "int",
     )
     return _count(col)
+
+
+def token_ids_column(col: Column, encoder: Encoder | None = None) -> Column:
+    """Token IDS of ``col`` as ``array<bigint>`` — the export shape a
+    tokenize-then-pack training pipeline consumes (feed the array
+    sizes to ``pack_sequences`` and the arrays to the shard writer).
+
+    Requires an encoder with an integer vocabulary (``encode_ids``):
+    MiniBPE's closed byte+merge-rank vocab, or tiktoken's ``encode``
+    when the wheel is installed. Counting-only encoders (regex,
+    char4) have no id space and raise. Arrow-batched pandas UDF —
+    one Python crossing per batch; NULL text yields NULL (not an
+    empty array), preserving the missing-vs-empty distinction."""
+    enc = encoder or get_encoder("minibpe")
+    ids_fn = getattr(enc, "encode_ids", None)
+    if ids_fn is None:
+        enc_encode = getattr(enc, "encode", None)
+        if enc.name == "tiktoken" and enc_encode is not None:
+            ids_fn = enc_encode  # tiktoken already returns int ids
+        else:
+            raise ValueError(
+                f"encoder {enc.name!r} has no integer id vocabulary — "
+                "use minibpe or tiktoken for token_ids_column"
+            )
+
+    from pyspark.sql.functions import pandas_udf
+
+    _ids = pandas_udf(
+        lambda s: s.map(lambda t: None if t is None else list(ids_fn(t))),
+        "array<bigint>",
+    )
+    return _ids(col)
