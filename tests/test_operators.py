@@ -220,6 +220,33 @@ def test_take_token_budget_prefix_semantics(spark):
     assert kept3 == [0, 1, 2, 3, 4]
 
 
+def test_bin_manifest_orders_docs_and_totals(spark):
+    """Per-bin loader manifest: doc ids in stream order, token totals
+    and start offsets per bin, identical at any parallelism."""
+    from web_scraper_spark.operators.relational import (
+        bin_manifest,
+        pack_sequences,
+    )
+
+    rows = [(i, 10) for i in range(10)]  # 10 docs x 10 tokens, capacity 32
+    df = spark.createDataFrame(rows, "id long, n long")
+    packed = pack_sequences(df, "id", "n", capacity=32)
+    man = {r["bin_id"]: r for r in bin_manifest(packed, "id", "n").collect()}
+    # offsets 0..90: bin 0 holds docs 0-3 (offsets 0,10,20,30 < 32? no:
+    # bin = offset//32 → 0,0,0,0 for 0/10/20/30? 30//32=0 → docs 0-3;
+    # 40..60//32=1 → docs 4-6(40,50,60); 70,80,90//32=2 → docs 7-9
+    assert man[0]["doc_ids"] == [0, 1, 2, 3] and man[0]["bin_tokens"] == 40
+    assert man[1]["doc_ids"] == [4, 5, 6] and man[1]["bin_start_offset"] == 40
+    assert man[2]["doc_ids"] == [7, 8, 9] and man[2]["n_docs"] == 3
+    man2 = {
+        r["bin_id"]: r["doc_ids"]
+        for r in bin_manifest(
+            pack_sequences(df.repartition(5), "id", "n", capacity=32), "id", "n"
+        ).collect()
+    }
+    assert man2 == {k: v["doc_ids"] for k, v in man.items()}
+
+
 def test_jaccard_pairs_rejects_candidates_plus_df_cap(spark):
     """candidates and max_doc_freq are mutually exclusive — the
     candidates branch would silently ignore the cap."""

@@ -133,3 +133,24 @@ def test_video_docs_plan_is_python_free(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_crawl_extraction_plan_ships_counts_not_carriers(spark):
+    """The crawl-round product set must not ship carrier columns: the
+    executed plan's Arrow UDF struct carries token_count/n_images as
+    ints and never mentions clean_html or the og fields."""
+    from web_scraper_spark.functions.udfs import extract_pages
+    from web_scraper_spark.sources.pages import pages_df
+
+    ex = extract_pages(
+        pages_df(spark, 8),
+        products=("title", "text", "markdown", "token_count", "n_images", "links"),
+    )
+    plan = (
+        ex.select("title", "token_count", "n_images")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "clean_html" not in plan and "og_title" not in plan
+    assert "token_count" in plan

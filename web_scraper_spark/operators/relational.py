@@ -242,6 +242,32 @@ def pack_sequences(
     )
 
 
+def bin_manifest(
+    packed: DataFrame, id_col: str, tokens_col: str
+) -> DataFrame:
+    """Collapse :func:`pack_sequences` output into the per-bin
+    manifest a data loader consumes: for each training bin, the
+    ordered document ids that start in it, the token total, and the
+    first document's stream offset. One groupBy on bin_id; ordering
+    inside the bin comes from array_sort over (offset, id) structs —
+    never collect_list order. Returns
+    (bin_id, doc_ids, n_docs, bin_tokens, bin_start_offset)."""
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("stream_offset", F.col(id_col)))
+                ),
+                lambda s: s[id_col],
+            ).alias("doc_ids"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("bin_tokens"),
+            F.min("stream_offset").cast("long").alias("bin_start_offset"),
+        )
+    )
+
+
 def _ppm_bucket(key_col: str, salt: str):
     """md5-derived bucket in [0, 10^6) — the shared sampling hash of
     :func:`deterministic_sample` / :func:`stratified_hash_sample`
