@@ -138,6 +138,53 @@ def test_bloom_sketch_version_and_hash_family_tags():
     assert m.family == FAMILY_XX64 and m.contains_many_i64(h1, h2).all()
 
 
+def test_bloom_legacy_payload_migration_via_assume_family():
+    """Pre-v2 payloads are recoverable when the producing hash family
+    is known: from_bytes(raw, assume_family=...) re-tags the legacy
+    bits instead of forcing a recrawl; the default path still refuses,
+    and garbage payloads cannot be laundered through the argument."""
+    import numpy as np
+    import pytest
+
+    from web_scraper_spark.crawl.bloom import (
+        FAMILY_NONE,
+        FAMILY_XX64,
+        BloomShard,
+    )
+
+    s = BloomShard.sized_for(1000)
+    h1 = np.arange(64, dtype=np.int64)
+    h2 = np.arange(64, dtype=np.int64) * 7 + 1
+    s.add_many_i64(h1, h2)
+    legacy = (
+        s.n_bits.to_bytes(8, "big")
+        + s.n_hashes.to_bytes(2, "big")
+        + s.n_items.to_bytes(8, "big")
+        + bytes(s.bits)
+    )
+    # explicit migration: bits, geometry, counts and family all land
+    mig = BloomShard.from_bytes(legacy, assume_family=FAMILY_XX64)
+    assert mig.family == FAMILY_XX64
+    assert mig.n_items == s.n_items
+    assert mig.contains_many_i64(h1, h2).all()
+    # migrated state re-serializes as v2 and round-trips
+    again = BloomShard.from_bytes(mig.to_bytes())
+    assert again.family == FAMILY_XX64
+    assert again.contains_many_i64(h1, h2).all()
+    # default path still fails fast, now with the migration hint
+    with pytest.raises(ValueError, match="assume_family"):
+        BloomShard.from_bytes(legacy)
+    # assume_family must name a concrete family
+    with pytest.raises(ValueError, match="concrete hash family"):
+        BloomShard.from_bytes(legacy, assume_family=FAMILY_NONE)
+    # truncated/garbage payloads are not migratable
+    with pytest.raises(ValueError, match="cannot migrate"):
+        BloomShard.from_bytes(legacy[:-5], assume_family=FAMILY_XX64)
+    # v2 payloads ignore the argument (header wins)
+    v2 = BloomShard.from_bytes(s.to_bytes(), assume_family=FAMILY_XX64)
+    assert v2.family == FAMILY_XX64
+
+
 def test_crawl_with_robots_and_ignore_matches_simulator(spark, tmp_path):
     n = 48
     pages = pages_df(spark, n)

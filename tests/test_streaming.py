@@ -339,3 +339,87 @@ def test_stream_near_dup_pairs_across_batches(spark, tmp_path):
     got2 = run()
     assert ("https://b.x/near", "https://c.x/near2") in got2
     assert got <= got2
+
+
+def test_near_dup_store_guards_and_crash_safe_compaction(spark, tmp_path):
+    """Three resilience guards on the incremental near-dup store:
+    (1) a legacy single-table batch=* layout under store_dir raises
+    with a migration hint instead of being read as an empty store;
+    (2) changing verify_hashes against an existing store raises
+    instead of silently deflating est_jaccard via zip_with null-pads;
+    (3) a compaction crash leftover (batch=compacted_prev holding dir)
+    stays glob-visible — prior pairs are still caught — and the next
+    compaction heals it."""
+    import datetime
+    import os
+    import shutil
+
+    import pandas as pd
+    import pytest
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+    from web_scraper_spark.streaming.neardup import (
+        compact_near_dup_store,
+        make_near_dup_batch_fn,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"
+
+    def batch_df(rows):
+        pdf = pd.DataFrame({
+            "url": [u for u, _ in rows],
+            "warc_ts": [datetime.datetime(2024, 1, 1)] * len(rows),
+            "html": [b"<p>x</p>"] * len(rows),
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+        })
+        return spark.createDataFrame(pdf, PAGES_SCHEMA)
+
+    # (1) legacy layout fails fast
+    legacy_store = tmp_path / "legacy_store"
+    (legacy_store / "batch=0").mkdir(parents=True)
+    fn = make_near_dup_batch_fn(str(legacy_store), str(tmp_path / "p0"))
+    with pytest.raises(ValueError, match="legacy single-table"):
+        fn(batch_df([("https://a.x/base", base)]), 0)
+
+    # build a real store with one batch
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    fn = make_near_dup_batch_fn(store, pairs, threshold=0.5)
+    fn(batch_df([("https://a.x/base", base)]), 0)
+
+    # (2) K drift against the existing store raises
+    drifted = make_near_dup_batch_fn(store, pairs, threshold=0.5, verify_hashes=32)
+    with pytest.raises(ValueError, match="verify_hashes"):
+        drifted(batch_df([("https://b.x/near", near)]), 1)
+
+    # (3) simulate the worst crash window: compacted dir parked under
+    # the holding name, new compacted dir not yet in place — the
+    # store must still serve candidate joins (holding matches batch=*)
+    fn(batch_df([("https://b.x/near", near)]), 1)
+    compact_near_dup_store(spark, store)
+    for sub in ("bands", "sigs"):
+        d = os.path.join(store, sub)
+        os.rename(
+            os.path.join(d, "batch=compacted"),
+            os.path.join(d, "batch=compacted_prev"),
+        )
+    fn(batch_df([("https://c.x/near2", near + " encore")]), 2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs + "/batch=*").collect()
+    }
+    assert ("https://b.x/near", "https://c.x/near2") in got
+    # next compaction folds the holding dir away and stays readable
+    st = compact_near_dup_store(spark, store)
+    assert st["bands_dirs"] >= 2
+    for sub in ("bands", "sigs"):
+        d = os.path.join(store, sub)
+        assert sorted(os.listdir(d)) == ["batch=compacted"], os.listdir(d)
+    fn(batch_df([("https://d.x/near3", near + " finale")]), 3)
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs + "/batch=*").collect()
+    }
+    assert ("https://c.x/near2", "https://d.x/near3") in got2

@@ -185,12 +185,39 @@ class BloomShard:
         return head + bytes(self.bits)
 
     @classmethod
-    def from_bytes(cls, raw: bytes) -> "BloomShard":
+    def from_bytes(cls, raw: bytes, assume_family: int | None = None) -> "BloomShard":
+        """Deserialize a shard.  ``assume_family`` is the explicit
+        migration path for PRE-v2 (unversioned) payloads: their bits
+        are fully reusable when the operator knows which hash family
+        produced them, so passing ``assume_family=FAMILY_BLAKE2B`` (or
+        ``FAMILY_XX64``) re-tags the legacy state instead of forcing a
+        recrawl.  Without it, legacy payloads still fail fast — the
+        default stays refuse-don't-guess."""
+        if len(raw) >= 18 and raw[0:2] != _MAGIC and assume_family is not None:
+            if assume_family not in (FAMILY_BLAKE2B, FAMILY_XX64):
+                raise ValueError(
+                    f"assume_family must be a concrete hash family "
+                    f"(FAMILY_BLAKE2B or FAMILY_XX64), got {assume_family}"
+                )
+            # legacy v1 layout: n_bits(8) n_hashes(2) n_items(8) + bits
+            n_bits = int.from_bytes(raw[0:8], "big")
+            n_hashes = int.from_bytes(raw[8:10], "big")
+            n_items = int.from_bytes(raw[10:18], "big")
+            if n_bits <= 0 or len(raw) - 18 != (n_bits + 7) // 8:
+                raise ValueError(
+                    "payload is not a legacy v1 Bloom sketch (geometry/"
+                    "length mismatch) — cannot migrate via assume_family"
+                )
+            return cls(
+                n_bits, n_hashes, bytearray(raw[18:]), n_items, family=assume_family
+            )
         if len(raw) < 22 or raw[0:2] != _MAGIC:
             raise ValueError(
                 "unversioned/foreign Bloom sketch payload — persisted "
                 "state predates format v2 (hash-family tagging); refusing "
-                "to resume with a possibly-mismatched hash family"
+                "to resume with a possibly-mismatched hash family. If the "
+                "producing family is known, migrate explicitly with "
+                "from_bytes(raw, assume_family=FAMILY_BLAKE2B|FAMILY_XX64)"
             )
         version, family = raw[2], raw[3]
         if version != _FORMAT_VERSION:

@@ -125,11 +125,48 @@ def make_near_dup_batch_fn(
 
         bands_dir = os.path.join(store_dir, _BANDS_SUB)
         sigs_dir = os.path.join(store_dir, _SIGS_SUB)
+        # pre-bands/sigs layout (batch=* with a `sig` array column
+        # directly under store_dir) must not be silently read as an
+        # EMPTY store — that would drop the whole dedup history on
+        # resume. Fail fast with a migration hint, mirroring
+        # BloomShard.from_bytes's unversioned-payload error.
+        legacy = (
+            os.path.isdir(store_dir)
+            and any(e.startswith("batch=") for e in os.listdir(store_dir))
+        )
+        if legacy:
+            raise ValueError(
+                f"near-dup store at {store_dir} uses the legacy single-"
+                "table batch=* layout; the current store is split into "
+                "bands/ + sigs/ subdirs. Re-derive it (re-run the stream "
+                "from its source with a fresh store_dir) or move the old "
+                "dirs aside explicitly — resuming against it as-is would "
+                "silently lose all prior dedup history"
+            )
         have_store = any(
             e.startswith("batch=")
             for e in (os.listdir(bands_dir) if os.path.isdir(bands_dir) else [])
         )
         if have_store:
+            # config-drift guard: est_jaccard divides component
+            # agreement by `verify_hashes`, and zip_with null-pads
+            # length mismatches into fake disagreements — a changed K
+            # would silently deflate every new-vs-stored estimate, so
+            # probe one stored row's signature length and refuse.
+            probe = (
+                spark.read.parquet(os.path.join(sigs_dir, _STORE_GLOB))
+                .select(F.size("vsig").alias("k"))
+                .limit(1)
+                .collect()
+            )
+            if probe and probe[0]["k"] != verify_hashes:
+                raise ValueError(
+                    f"verify_hashes={verify_hashes} but the store at "
+                    f"{store_dir} holds {probe[0]['k']}-component "
+                    "verification signatures — changing K between runs "
+                    "silently deflates est_jaccard for new-vs-stored "
+                    "pairs; rebuild the store or restore the original K"
+                )
             # replay safety: a restarted batch must not see its own
             # previous (overwritten-in-flight) rows as "prior" docs
             corpus_bands = spark.read.parquet(
@@ -234,6 +271,11 @@ def compact_near_dup_store(
             continue
         tmp = os.path.join(d, ".compact_tmp")
         final = os.path.join(d, "batch=compacted")
+        holding = os.path.join(d, "batch=compacted_prev")
+        # The read below includes any batch=compacted_prev crash
+        # leftover (it matches the batch=* glob), so no pre-cleanup
+        # may delete it — it can be the only glob-visible copy of
+        # previously-compacted rows.
         (
             spark.read.parquet(os.path.join(d, _STORE_GLOB))
             .dropDuplicates(keys)
@@ -241,10 +283,25 @@ def compact_near_dup_store(
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        # glob-visible at EVERY instant: park the old compacted dir
+        # under a batch=* holding name (never rmtree-before-rename —
+        # a crash in that window would leave the only copy of prior
+        # compactions in the hidden tmp dir, invisible to the batch=*
+        # glob), swap tmp in, then delete the holdover and old epoch
+        # dirs LAST. Duplicate rows across holding + final during the
+        # window are benign (distinct/dropDuplicates downstream).
+        # Crash-leftover states resolve here: final+holding both
+        # present only after a crash post-swap, where final already
+        # supersedes holding.
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            if os.path.isdir(holding):
+                shutil.rmtree(holding)
+            os.rename(final, holding)
         os.rename(tmp, final)
+        if os.path.isdir(holding):
+            shutil.rmtree(holding)
         for e in dirs:
-            if e != "batch=compacted":
-                shutil.rmtree(os.path.join(d, e))
+            p = os.path.join(d, e)
+            if e != "batch=compacted" and os.path.isdir(p):
+                shutil.rmtree(p)
     return stats
