@@ -948,6 +948,32 @@ def test_unigram_surprisal_ordering(spark):
     assert out[100] > out[0]
 
 
+def test_unigram_surprisal_vocab_broadcast_guard(spark):
+    """The corpus-derived counts table is broadcast only under the
+    vocabulary budget: above it the hint is dropped (shuffle join on
+    tok — the right plan for a billion-token vocabulary, where a
+    forced broadcast would OOM) with IDENTICAL results."""
+    from web_scraper_spark.operators.text import unigram_surprisal
+
+    rows = [(i, "common words repeated " * 5) for i in range(20)]
+    rows.append((100, "zyzzyva qwertyuiop xylophone"))
+    df = spark.createDataFrame(rows, "id int, text string")
+
+    small = unigram_surprisal(df, "text", "id")
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+
+    big = unigram_surprisal(df, "text", "id", max_broadcast_vocab=1)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # the 1-row total still broadcasts (as a nested-loop cross join);
+    # the counts EQUI-join must not hash-broadcast — it shuffles
+    assert plan.count("BroadcastHashJoin") == 0, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, big.collect()))
+    assert a == b
+
+
 def test_connected_components_chain_and_isolates(spark):
     """Large-star/small-star: a chain converges to one component
     labeled by its min id; disjoint pairs stay separate;

@@ -294,7 +294,9 @@ def top_ngram_share(df, text_col: str, id_col: str, n: int = 2):
     )
 
 
-def unigram_surprisal(df, text_col: str, id_col: str):
+def unigram_surprisal(
+    df, text_col: str, id_col: str, max_broadcast_vocab: int = 2_000_000
+):
     """CCNet-style LM quality signal: mean per-token surprisal of each
     document against the CORPUS'S OWN unigram distribution — gibberish
     and rare-token soup score high, boilerplate scores low.
@@ -305,8 +307,16 @@ def unigram_surprisal(df, text_col: str, id_col: str):
     matter how either engine schedules the aggregation.
 
     Scale shape: one explode + one (token) groupBy for the counts, a
-    broadcast of the 1-row total, one broadcast-joinable counts table
-    (token vocabulary ≪ corpus), one (id) groupBy for the fold.
+    broadcast of the 1-row total, one (id) groupBy for the fold. The
+    counts table is built FROM THE CORPUS, so its size is unbounded:
+    at web scale the distinct-token tail runs to billions of rows and
+    force-broadcasting it would OOM the driver long before the query
+    is slow. The join strategy is therefore chosen by a measured
+    vocabulary size (one approx_count_distinct pass, ±~5%): at or
+    under ``max_broadcast_vocab`` distinct tokens the counts side is
+    broadcast (the common case — vocabulary ≪ corpus); above it the
+    hint is dropped and the tok⨝counts join shuffles on ``tok`` — the
+    right plan at that size, same results.
     Returns (id, n_tokens, mean_deciban)."""
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -315,9 +325,11 @@ def unigram_surprisal(df, text_col: str, id_col: str):
         ).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = toks.agg(F.approx_count_distinct("tok").alias("v")).first()["v"]
+    build = F.broadcast(counts) if vocab <= max_broadcast_vocab else counts
     total = counts.agg(F.sum("c").cast("double").alias("t"))
     scored = (
-        toks.join(F.broadcast(counts), "tok")
+        toks.join(build, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "id",
