@@ -1518,6 +1518,77 @@ def q77_duplicate_span_ranges(spark, sf_dir):
 
 
 # =====================================================================
+# ExactSubstr span APPLY: cut the located intervals out of the text —
+# the dedup pass's actual output corpus (Lee et al. 2022 step 3).
+# =====================================================================
+@query(
+    "q80_remove_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    wins AS (
+      SELECT doc_id,
+             unnest(range(greatest(n - 7, 0))) AS pos,
+             unnest(list_transform(range(greatest(n - 7, 0)),
+                    i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS h
+      FROM base),
+    shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM shared)),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS s1
+      FROM grp GROUP BY doc_id, g),
+    tokpos AS (
+      SELECT doc_id, unnest(range(n)) AS pos, unnest(t) AS tok FROM base),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s0 AND s.s1)),
+    reb AS (
+      SELECT doc_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(r.clean_md5, md5('')) AS clean_md5,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id
+    """,
+)
+def q80_remove_spans(spark, sf_dir):
+    """ExactSubstr APPLY: q77 locates the merged duplicated-token
+    intervals; this entry CUTS them — one token posexplode, one
+    LEFT-ANTI range join on the doc id, one groupBy(id) reassembly
+    with array_sort order (never collect_list order). clean_text is
+    md5'd for the hash compare (long strings); the oracle re-derives
+    the spans and the cut with a NOT-EXISTS range condition."""
+    d = _load(spark, sf_dir, "documents")
+    spans = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2)
+    out = D.remove_duplicate_spans(d, spans, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+    )
+
+
+# =====================================================================
 # Benchmark decontamination (13-gram overlap).
 # =====================================================================
 @query(
@@ -1582,6 +1653,77 @@ def q74_stratified_sample(spark, sf_dir):
 
 
 # =====================================================================
+# Deterministic train/val/test fold split (disjoint ppm ranges).
+# =====================================================================
+@query(
+    "q81_hash_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN b < 100000 THEN 'test'
+                WHEN b < 900000 THEN 'train'
+                ELSE 'val' END AS fold
+    FROM (SELECT doc_id, lang, {_bucket_sql('doc_id', 'split')} AS b
+          FROM documents)
+    """,
+)
+def q81_hash_split(spark, sf_dir):
+    """80/10/10 train/val/test fold assignment: each row's fold is the
+    DISJOINT ppm range its md5 bucket falls into (ranges laid out in
+    sorted fold-name order: test [0,100k), train [100k,900k), val
+    [900k,1M)) — exactly one fold per row by construction, no RNG, no
+    shuffle, identical at any parallelism. The oracle recomputes the
+    buckets and the range CASE bit-for-bit."""
+    from ..operators.relational import hash_split
+
+    d = _load(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "lang", "fold")
+
+
+# =====================================================================
+# Fixed token-budget corpus prefix (training-mixture slices).
+# =====================================================================
+@query(
+    "q82_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS rb
+      FROM t)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM r WHERE rb < 10000
+    """,
+)
+def q82_token_budget(spark, sf_dir):
+    """The first 10,000-token slice of the corpus in doc_id order —
+    the shape a fixed-budget training run or a proportional mixture
+    recipe takes. A doc is kept iff the tokens strictly before it fit
+    the budget (the boundary doc that crosses it is the last one
+    kept). The engine's running total is the scalable two-level
+    blocked cumsum (block_size 100 → the cross-block offset path is
+    genuinely exercised); the oracle is the textbook single-window
+    prefix sum."""
+    from ..operators.relational import take_token_budget
+
+    d = _load(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    toks = d.select(
+        "doc_id", "lang", feats["n_words"].cast("long").alias("n_tokens")
+    )
+    return take_token_budget(
+        toks, "doc_id", "n_tokens", budget=10_000, block_size=100
+    )
+
+
+# =====================================================================
 # End-to-end CURATION RUN: the document-side composition capstone
 # (quality gate → language gate → exact-dedup survivors → stratified
 # rebalance), the q70 pattern one level up.
@@ -1642,30 +1784,28 @@ def q75_curation_run(spark, sf_dir):
     re-crawls by id order — q15 semantics) → stratified per-language
     rebalance (q74's nested ppm buckets). Every stage is a pure
     expression or a digest-keyed shuffle; the oracle re-derives the
-    whole chain."""
-    from ..operators.relational import stratified_hash_sample
+    whole chain. The chain executes through the REUSABLE entry point
+    (pipelines.curate.curate) — this row oracles the production code
+    path itself, not a parallel gate-only composition."""
+    from ..pipelines.curate import CurationConfig, curate
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     recrawl = d.filter(F.col("doc_id") % 10 == 7).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
     corpus = d.unionByName(recrawl)
+    cfg = CurationConfig(
+        min_quality=0.8,
+        langs=["en", "de", "fr"],
+        fuzzy=False,
+        rates_ppm={"en": 500_000, "de": 200_000},
+        default_ppm=100_000,
+    )
+    curated = curate(corpus, "text", "doc_id", "lang", cfg)
     feats = TX.quality_features(F.col("text"))
-    scored = corpus.select(
-        "doc_id",
-        "lang",
-        "text",
-        TX.quality_score(F.col("text")).alias("quality"),
-        feats["n_words"].cast("long").alias("n_tokens"),
+    return curated.select(
+        "doc_id", "lang", "quality", feats["n_words"].cast("long").alias("n_tokens")
     )
-    filt = scored.filter(
-        (F.col("quality") >= 0.8) & F.col("lang").isin("en", "de", "fr")
-    )
-    kept = D.exact_dedup(filt, "text", "doc_id")
-    sampled = stratified_hash_sample(
-        kept, "doc_id", "lang", {"en": 500_000, "de": 200_000}, default_ppm=100_000
-    )
-    return sampled.select("doc_id", "lang", "quality", "n_tokens")
 
 
 # =====================================================================
