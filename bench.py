@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "q69_components", "q70_fuzzy_dedup_pipeline", "q71_jaccard_df_capped",
     "q72_duplicate_spans", "q73_decontamination", "q74_stratified_sample",
     "q75_curation_run", "q76_pack_sequences", "q77_duplicate_span_ranges",
-    "q78_token_distribution", "q79_script_detect",
+    "q78_token_distribution", "q79_script_detect", "q80_remove_spans",
+    "q81_hash_split", "q82_token_budget",
 ]
 
 

@@ -824,6 +824,36 @@ def test_ivf_assign_arrow_matches_expr(spark):
     assert expr and arrow == expr
 
 
+def test_kmeans_refine_arrow_matches_expr(spark):
+    """The Lloyd loop with BLAS assignment (method='arrow') must yield
+    the same refined centroids as the expression path to the oracle's
+    round-6 resolution on the gate fixture — the q64 gate entry runs
+    the arrow path against the SQL oracle."""
+    import pytest
+
+    from web_scraper_spark.operators.similarity import (
+        kmeans_refine,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = label_centroids(emb, "embedding", "label")
+
+    def rounded(method):
+        out = kmeans_refine(
+            emb, "embedding", "vec_id", seeds, iterations=2, method=method
+        )
+        return {
+            r["centroid_id"]: tuple(round(x, 6) for x in r["centroid"])
+            for r in out.collect()
+        }
+
+    a, b = rounded("expr"), rounded("arrow")
+    assert a and a == b
+    with pytest.raises(ValueError, match="unknown method"):
+        kmeans_refine(emb, "embedding", "vec_id", seeds, method="nope")
+
+
 def test_embedding_near_dups_arrow_matches_expr(spark):
     """The per-bucket BLAS path (method='arrow') must produce the
     exact same (id_a, id_b, cosine-rounded-6) set as the expression

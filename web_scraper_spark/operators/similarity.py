@@ -359,6 +359,7 @@ def kmeans_refine(
     id_col: str,
     centroids: DataFrame,
     iterations: int = 1,
+    method: str = "expr",
 ) -> DataFrame:
     """Lloyd refinement from seed centroids: assign every vector to
     its nearest centroid (cosine, ties to the lowest centroid_id via
@@ -367,11 +368,28 @@ def kmeans_refine(
     broadcast of the SMALL centroid table plus one (cluster, dim)
     groupBy with map-side partial means; the corpus never shuffles on
     anything wider than those keys. Seeds that attract no vectors
-    drop out (standard Lloyd behavior). Returns (centroid_id,
-    centroid)."""
+    drop out (standard Lloyd behavior).
+
+    ``method="arrow"`` routes the assignment through
+    :func:`ivf_assign_arrow` (one ``V @ C.T`` BLAS matmul per Arrow
+    batch, shuffle-free, same lowest-cid tie-break — row-identical by
+    test): the per-iteration cost drops from an interpreted
+    per-(row × centroid) HOF fold to a matmul, which is the Lloyd
+    inner loop at corpus scale. The per-cluster means that follow are
+    identical either way. Returns (centroid_id, centroid)."""
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"unknown method {method!r} (expected 'expr' or 'arrow')")
     cur = centroids
     for _ in range(iterations):
-        assigned = ivf_assign_topn(df, vec_col, id_col, cur, 1)
+        if method == "arrow":
+            assigned = ivf_assign_arrow(
+                df,
+                vec_col,
+                id_col,
+                cur.select("centroid_id", F.col("centroid").alias(vec_col)),
+            )
+        else:
+            assigned = ivf_assign_topn(df, vec_col, id_col, cur, 1)
         dims = assigned.select(
             "centroid_id",
             F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),

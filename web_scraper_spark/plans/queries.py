@@ -871,10 +871,15 @@ def q64_kmeans_refine(spark, sf_dir):
     means again. The oracle re-derives both iterations (assignment
     argmax with the same lowest-centroid-id tie-break each round, then
     per-(cluster, dim) means), so the engine's multi-iteration loop —
-    not just one step — is value-checked."""
+    not just one step — is value-checked. Assignment runs the BLAS
+    path (ivf_assign_arrow — row-identical to the expression path by
+    test); the mean aggregation the oracle hashes is pure JVM either
+    way."""
     emb = _load(spark, sf_dir, "embeddings")
     seeds = S.label_centroids(emb, "embedding", "label")
-    refined = S.kmeans_refine(emb, "embedding", "vec_id", seeds, iterations=2)
+    refined = S.kmeans_refine(
+        emb, "embedding", "vec_id", seeds, iterations=2, method="arrow"
+    )
     return refined.select(
         "centroid_id",
         F.posexplode("centroid").alias("pos", "x"),
@@ -1167,10 +1172,13 @@ def q69_components(spark, sf_dir):
     """Near-dup pairs (q28's label-bucketed embedding edges) clustered
     into connected components via min-label propagation; keep =
     (id == component) is the fuzzy-dedup survivor flag. The oracle
-    computes the same components with a recursive reachability CTE."""
+    computes the same components with a recursive reachability CTE.
+    Edge generation runs the per-bucket BLAS path (method='arrow' —
+    identical round-6 pair set to the expression path by test)."""
     emb = _load(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_dups(
-        emb, "embedding", "vec_id", threshold=0.35, bucket_col="label"
+        emb, "embedding", "vec_id", threshold=0.35, bucket_col="label",
+        method="arrow",
     )
     comps = D.connected_components(pairs)
     return comps.select(
