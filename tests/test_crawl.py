@@ -145,6 +145,27 @@ def test_crawl_metrics_written(spark, crawl_result):
     assert len(stats) == 2 and stats[1]["scheduled"] > 0
 
 
+def test_crawl_results_products_configurable(spark, tmp_path):
+    """A text-only round writes results without title/markdown, flags
+    md_bytes = -1 in metrics, and still discovers links (the crawl
+    frontier must not depend on which products the sink keeps)."""
+    ck = str(tmp_path / "ckpt_slim")
+    pages = pages_df(spark, N_PAGES)
+    seeds = [url_for(r) for r in (0, 1, 2, 3)]
+    cfg = CrawlConfig(
+        ckpt_dir=ck, quota_per_host=16, max_depth=2, n_shards=8,
+        results_products=("text", "token_count"),
+    )
+    stats = run_crawl(spark, cfg, pages, None, seeds, n_rounds=2)
+    res = spark.read.parquet(os.path.join(ck, "round=0", "results"))
+    assert {"text", "token_count"} <= set(res.columns)
+    assert "markdown" not in res.columns and "title" not in res.columns
+    m = spark.read.parquet(os.path.join(ck, "round=0", "metrics"))
+    assert all(r["md_bytes"] == -1 for r in m.collect())
+    assert m.agg(F.sum("tokens")).first()[0] > 0
+    assert len(stats) == 2 and stats[1]["scheduled"] > 0  # links still flow
+
+
 def test_seen_compaction_size_trigger(tmp_path):
     """LSM-style trigger: compaction fires when appended seen bytes
     since the last compaction reach ratio x compacted base (file

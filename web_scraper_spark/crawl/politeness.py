@@ -13,11 +13,13 @@ Structure (SURVEY.md §4.2):
    then per host — two cheap window passes whose first stage spreads
    the hot host over ``n_salts`` partitions. After this, every
    politeness group holds ≤ quota rows regardless of skew.
-2. **Stateful grouped-map scheduler** — ``groupBy(host).applyInPandas``
-   over (candidates ∪ host-state rows): orders by (priority, seq),
-   enforces crawl_delay spacing from the host's ``next_allowed_ms``
-   carried over from the previous round, emits ``scheduled_offset_ms``
-   and the updated host state.
+2. **Stateful windowed scheduler** — a pure JVM cumulative-sum window
+   over the host partitions: orders by (priority, seq), enforces
+   crawl_delay spacing from the host's ``next_allowed_ms`` (broadcast
+   -joined carry-over from the previous round), emits
+   ``scheduled_offset_ms`` and the updated host state. Runs inside
+   whole-stage codegen — no Arrow crossing (the earlier grouped-map
+   pandas form was the scheduler's measured scaling floor).
 
 Ordering key contract (parity with the sequential reference): within a
 host, rows are scheduled in (priority, seq) order — seq is the seed /
@@ -27,7 +29,6 @@ restricted to that host (SURVEY.md §7 hard-part 2).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -102,37 +103,37 @@ def schedule_round(
 
     joined = trimmed.join(F.broadcast(host_state), "host", "left")
 
-    budget = round_budget_ms
-
-    def run(key, pdf):  # no hints: future-annotations stringifies them and pandas group-ops warns
-        # Vectorized virtual-clock assignment: offset[i] = start +
-        # cumsum(delays)[i-1]. A hot host funnels its whole round quota
-        # into this one group, so the group body must be O(n) numpy,
-        # never per-row Python.
-        host = key[0]
-        pdf = pdf.sort_values(["priority", "seq"], kind="mergesort").reset_index(drop=True)
-        start = 0
-        if pdf["next_allowed_ms"].notna().any():
-            start = int(pdf["next_allowed_ms"].dropna().iloc[0])
-        delays = pdf["crawl_delay_ms"].fillna(default_delay_ms).astype("int64")
-        offsets = start + delays.cumsum().shift(1, fill_value=0)
-        if budget is not None:
-            keep = offsets <= budget
-            pdf, delays, offsets = pdf[keep], delays[keep], offsets[keep]
-        return pd.DataFrame(
-            {
-                "url": pdf["url"],
-                "host": host,
-                "depth": pdf["depth"].astype("Int32"),
-                "priority": pdf["priority"].astype("float64"),
-                "seq": pdf["seq"].astype("Int64"),
-                "crawl_delay_ms": delays.astype("int64"),
-                "scheduled_offset_ms": offsets.astype("int64"),
-            },
-            columns=[f.name for f in SCHEDULE_SCHEMA.fields],
+    # Virtual-clock assignment: offset[i] = start + cumsum(delays)[i-1]
+    # within each host in (priority, seq) order — a pure JVM window
+    # over the host partitions (whole-stage codegen, no Arrow
+    # crossing; this stage was a grouped-map pandas UDF and the
+    # scheduler's scaling floor until it moved here). The stateful
+    # carry-over (``next_allowed_ms``) arrives via the broadcast join
+    # above, constant per host, so the "state" is just the window
+    # frame's additive start. nulls_last ordering matches the
+    # previous pandas sort_values semantics (NaNs last).
+    delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms)).cast("long")
+    w_cum = (
+        Window.partitionBy("host")
+        .orderBy(F.asc_nulls_last("priority"), F.asc_nulls_last("seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.col("next_allowed_ms"), F.lit(0)).cast("long")
+    schedule = joined.select(
+        "url",
+        "host",
+        F.col("depth").cast("int").alias("depth"),
+        F.col("priority").cast("double").alias("priority"),
+        F.col("seq").cast("long").alias("seq"),
+        delay.alias("crawl_delay_ms"),
+        (start + F.coalesce(F.sum(delay).over(w_cum), F.lit(0)))
+        .cast("long")
+        .alias("scheduled_offset_ms"),
+    )
+    if round_budget_ms is not None:
+        schedule = schedule.filter(
+            F.col("scheduled_offset_ms") <= F.lit(round_budget_ms)
         )
-
-    schedule = joined.groupBy("host").applyInPandas(run, SCHEDULE_SCHEMA)
 
     # new host state: where the virtual clock ended per host, minus the
     # round budget (next round restarts its virtual clock at 0).

@@ -64,6 +64,12 @@ class CrawlConfig:
     # count the next frontier for stats (costs one extra job per
     # round; loop control only needs the scheduled count)
     collect_frontier_count: bool = True
+    # which extraction products the results sink persists per round
+    # (links for discovery and the metrics counters are always
+    # produced). Markdown is the dominant results write — a crawl that
+    # only needs text (or only counts) trims the round's write volume
+    # here without touching the extraction contract.
+    results_products: tuple = ("title", "text", "markdown", "token_count", "n_images")
     # compact the append-only seen table every K rounds (between
     # compactions each round appends only its own scheduled URLs —
     # O(round) not O(total) write cost; the Iceberg-append analog)
@@ -214,22 +220,29 @@ def run_round(
     # groups). Neither bounds extraction parallelism correctly, so
     # spread rows explicitly before the expensive UDF stage.
     # PRUNED products: only what this round's sinks consume crosses
-    # Arrow — title/text/markdown for results, the in-UDF token_count/
-    # n_images counts for results+metrics, links for discovery. The
-    # carrier columns (clean_html, og_*, image structs) never ship,
-    # and the pre-repartition select keeps the exchange payload to the
-    # fetch columns the sinks actually read.
+    # Arrow — cfg.results_products for the results sink (token_count
+    # always included for the metrics counters), links for discovery.
+    # The carrier columns (clean_html, og_*, image structs) never
+    # ship, and the pre-repartition select keeps the exchange payload
+    # to the fetch columns the sinks actually read.
+    # Repartitioning ON url (not round-robin): when the fetch join
+    # already hash-exchanged on url (SMJ — uniform across tasks since
+    # urls are distinct), Catalyst elides this exchange as redundant;
+    # when the join broadcast instead (output inherits the schedule's
+    # skewed by-host partitioning), it redistributes. Either way the
+    # UDF stage is balanced without paying a second html shuffle.
     par = spark.sparkContext.defaultParallelism
+    products = tuple(dict.fromkeys((*cfg.results_products, "token_count")))
     ok = (
         fetched.filter(F.col("fetch_status") == "fetched")
         .select("url", "host", "depth", "seq", "scheduled_offset_ms", "html")
-        .repartition(par)
+        .repartition(par, "url")
     )
     extracted = extract_pages(
         ok,
         html_col="html",
         url_col="url",
-        products=("title", "text", "markdown", "token_count", "n_images", "links"),
+        products=(*products, "links"),
     ).persist()
 
     rdir = _round_dir(cfg, round_id)
@@ -244,19 +257,26 @@ def run_round(
     # -- results + metrics ---------------------------------------------
     results = extracted.select(
         "url", "host", "depth", "seq", "scheduled_offset_ms",
-        "title", "text", "markdown", "token_count", "n_images",
+        *products,
         F.lit(round_id).alias("round_id"),
     )
     _write(results, os.path.join(rdir, "results"))
 
     # per-partition lineage + counters (S14/metrics table): which input
     # partition produced how many rows, and the round provenance.
+    # md_bytes tracks the dominant write only when markdown is a
+    # configured product (−1 = not produced this round).
+    md_bytes = (
+        F.sum(F.length("markdown"))
+        if "markdown" in products
+        else F.lit(-1).cast("long")
+    )
     metrics = (
         extracted.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count("*").alias("n_rows"),
             F.sum("token_count").alias("tokens"),
-            F.sum(F.length("markdown")).alias("md_bytes"),
+            md_bytes.alias("md_bytes"),
         )
         .withColumn("round_id", F.lit(round_id))
         .withColumn("src", F.lit("extracted"))
