@@ -9,7 +9,7 @@ both plus efficiency = thr(4N) / (4 · thr(N)).
 Jobs:
 1. frontier_schedule — a seeded synthetic frontier of >=10^6 URLs
    through the full scheduling path (validity filters → Bloom-shard
-   probe → two-stage quota trim → politeness applyInPandas). Metric:
+   probe → two-stage quota trim → JVM politeness window). Metric:
    URLs scheduled/sec.
 2. fetch_extract — schedule ∪ pages equi-join + full extraction UDF
    over N_PAGES pages. Metric: pages fetched+extracted/sec.
@@ -321,7 +321,8 @@ should be read relative to the platform control.
 ## Job 1 — frontier scheduling ({N_FRONTIER:,} URLs, hot-host skew ~50%)
 
 Full scheduling path: validity filter → two-stage skew-guarded quota
-trim → per-host politeness `applyInPandas`.
+trim → per-host politeness cumulative-sum window (pure JVM — no
+Arrow crossing since round 5).
 
 | cores | URLs scheduled/sec | wall (s) |
 |---|---|---|

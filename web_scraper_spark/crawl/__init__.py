@@ -10,9 +10,9 @@ contxt/config.py:20, TODO.md:1,7) as a Spark-native micro-batch loop:
 - :mod:`frontier`   — frontier schema, seed ingestion, candidate
                       filtering (validity, ignore patterns, robots,
                       seen-sketch + exact anti-join).
-- :mod:`politeness` — per-host crawl-delay scheduler as
-                      ``groupBy(host).applyInPandas`` with skew-guarded
-                      two-stage quota trimming.
+- :mod:`politeness` — per-host crawl-delay scheduler as a pure JVM
+                      cumulative-sum window over host partitions,
+                      with skew-guarded two-stage quota trimming.
 - :mod:`rounds`     — the micro-batch round loop with atomic parquet
                       checkpoints, per-partition lineage + metrics, and
                       mid-crawl resume.
