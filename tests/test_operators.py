@@ -1057,3 +1057,101 @@ def test_connected_components_log_iterations_on_long_chain(spark):
     assert len(out) == n + 1
     assert all(out[i] == 0 for i in range(n + 1))
     assert stats["iterations"] <= 10, stats
+
+
+def test_bigram_surprisal_manual(spark):
+    """Hand-computed decibans on a 3-doc corpus; a <2-token doc
+    reports (0, 0.0); the over-budget shuffle path is row-identical."""
+    from web_scraper_spark.operators.text import bigram_surprisal
+
+    # bigrams: doc1 -> (a,b),(b,a),(a,c); doc2 -> none; doc3 -> (a,b)
+    # c2: (a,b)=2 (b,a)=1 (a,c)=1 ; c1: a=3 b=1
+    # db(a,b) = round(-10*log10(2/3)) = 2 ; db(b,a)=0
+    # db(a,c) = round(-10*log10(1/3)) = 5
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x"), (3, "a b")], "id int, text string"
+    )
+    out = {r["id"]: r for r in bigram_surprisal(df, "text", "id").collect()}
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_deciban"] == round((2 + 0 + 5) / 3, 4)
+    assert out[2]["n_bigrams"] == 0 and out[2]["mean_deciban"] == 0.0
+    assert out[3]["n_bigrams"] == 1 and out[3]["mean_deciban"] == 2.0
+
+    shuffled = bigram_surprisal(df, "text", "id", max_broadcast_bigrams=1)
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, bigram_surprisal(df, "text", "id").collect())
+    )
+
+
+def test_bigram_surprisal_orders_boilerplate_below_soup(spark):
+    """Fixed word order (boilerplate) scores near zero; the same
+    vocabulary shuffled into varying orders scores higher — the signal
+    the unigram model cannot see."""
+    from web_scraper_spark.operators.text import bigram_surprisal
+
+    fixed = [(i, "the quick brown fox jumps") for i in range(10)]
+    soup = [
+        (100, "fox the jumps brown quick"),
+        (101, "brown jumps the fox quick"),
+        (102, "quick fox the jumps brown"),
+    ]
+    df = spark.createDataFrame(fixed + soup, "id int, text string")
+    out = {r["id"]: r["mean_deciban"] for r in bigram_surprisal(df, "text", "id").collect()}
+    assert out[0] < out[100] and out[0] < out[101] and out[0] < out[102]
+
+
+def test_bm25_topk_manual_and_dfcap(spark):
+    """Exact-match doc ranks first; score_micros matches the formula
+    computed in Python; a term present in > max_df_frac of docs is
+    df-capped out of the index (zero contribution)."""
+    import math
+
+    from web_scraper_spark.operators.similarity import bm25_topk
+
+    # 'common' appears in all 4 docs -> df 4 > floor(0.5*4)=2 -> capped.
+    # 'needle' appears only in doc 1 (twice, len 4); 'hay' in 2 and 3.
+    docs = spark.createDataFrame(
+        [
+            (1, "needle needle common x"),
+            (2, "hay common y z"),
+            (3, "hay common y z"),
+            (4, "common a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(7, "needle common")], "query_id long, q_text string"
+    )
+    rows = bm25_topk(docs, qs).collect()
+    assert [r["doc_id"] for r in rows] == [1]  # only doc 1 matches
+    r = rows[0]
+    assert r["rank"] == 1 and r["n_terms"] == 1  # 'common' capped out
+    n, df_t, tf, dl, avgdl = 4, 1, 2, 4, 4.0
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+    tfc = (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    assert r["score_micros"] == round(idf * tfc * 1000000)
+
+
+def test_bm25_topk_ranking_and_tiebreak(spark):
+    """Higher-tf docs outrank lower-tf; equal scores break ties by
+    doc_id ascending; k caps the result per query."""
+    from web_scraper_spark.operators.similarity import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "term term term pad"),
+            (2, "term pad pad pad"),
+            (3, "term pad pad pad"),
+            (4, "other pad pad pad"),
+            (5, "x1 x2 x3 x4"),
+            (6, "x5 x6 x7 x8"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "term")], "query_id long, q_text string")
+    rows = bm25_topk(docs, qs, k=2).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]  # tf wins, then id tie-break
+    assert [r["rank"] for r in rows] == [1, 2]
+    full = bm25_topk(docs, qs, k=10).collect()
+    assert [r["doc_id"] for r in full] == [1, 2, 3]
+    assert full[1]["score_micros"] == full[2]["score_micros"]

@@ -403,3 +403,101 @@ def kmeans_refine(
             )
         )
     return cur
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_text_col: str = "q_text",
+    qid_col: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Lexical similarity search: BM25 top-k retrieval over an
+    inverted index built from the corpus — the sparse complement to
+    the embedding-cosine family (reference analog: none; this is a
+    training-data-pipeline addition, e.g. dedup-aware retrieval or
+    decontamination lookup by keyword).
+
+    Scoring is Robertson/Spärck-Jones BM25:
+    ``idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`` and
+    ``tf_c = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``, summed over
+    the query's DISTINCT terms. Engine portability: each term's
+    contribution is quantized to integer MICROS
+    (``round(idf·tf_c·1e6)`` as BIGINT) before the per-(query, doc)
+    sum — integer sums are order-independent, so the oracle
+    hash-matches regardless of aggregation schedule. Ranking carries
+    the unique (score desc, doc_id asc) tie-break.
+
+    Scale shape: the inverted index is one explode + one
+    (doc, term) groupBy; document frequency is one (term) groupBy.
+    ``max_df_frac`` drops terms appearing in more than that fraction
+    of documents — the stopword/hot-posting-list cap that bounds the
+    worst key in the term join (a term in half the corpus is pure
+    skew and carries ~no BM25 signal anyway; drops are by the same
+    df-cap rule on both engines). The query-term side is broadcast
+    (queries ≪ corpus); the posting join shuffles on the term key
+    only. Per-query top-k is one window over query_id — fine while
+    queries fit a partition each; at huge query batches swap the
+    window for groupBy + slice(sort_array(...)).
+
+    Returns (query_id, doc_id, rank, score_micros, n_terms).
+    """
+    tok = lambda c: F.split(
+        F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " "
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), tok(F.col(text_col)).alias("t"))
+    dl = base.select("doc_id", F.size("t").cast("long").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    posting = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df")
+            <= F.floor(F.lit(max_df_frac) * F.col("n")).cast("long")
+        )
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(tok(F.col(q_text_col))).alias("term"),
+    ).distinct()
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tfc = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * ((1 - b) + b * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(posting, "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfc * 1000000).cast("long").alias("contrib"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score_micros"),
+        F.count("*").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_micros", "n_terms")
+    )

@@ -342,6 +342,77 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df, text_col: str, id_col: str, max_broadcast_bigrams: int = 2_000_000
+):
+    """Bigram extension of :func:`unigram_surprisal` — the CCNet-style
+    LM-perplexity quality filter one order up: mean per-bigram
+    surprisal of each document under the corpus's own bigram model
+    P(r | l) = count(l, r) / count(l, ·). Repeated boilerplate scores
+    near zero; token soup with no stable word order scores high — a
+    sharper quality separator than the unigram model, which only sees
+    vocabulary rarity.
+
+    Same engine-portability trick as the unigram operator: per-bigram
+    surprisal quantized to integer decibans before the per-doc sum,
+    so aggregation order can't move the hash. Every corpus bigram has
+    count ≥ 1 under its own model — no smoothing term is needed.
+
+    Scale shape: one explode to bigram rows, two groupBys for the
+    (l, r) and (l, ·) counts, then joins back. The bigram table grows
+    faster than the vocabulary, so the unigram operator's broadcast
+    guard matters even more here: the (l, r) counts are broadcast only
+    when a measured approx_count_distinct stays at or under
+    ``max_broadcast_bigrams``; above it both count joins shuffle on
+    their token keys — the OOM-safe plan at web scale (the (l, ·)
+    side follows the same decision; it is never larger than the
+    bigram side). Docs with < 2 tokens have no bigrams and report
+    (0, 0.0). Returns (id, n_bigrams, mean_deciban)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = (
+        base.select(
+            "id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, n1),
+                    F.slice(F.col("t"), 2, n1),
+                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                )
+            ).alias("p"),
+        )
+        .select("id", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    )
+    c2 = bg.groupBy("l", "r").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("l").agg(F.count("*").alias("c1"))
+    n_bigrams = bg.agg(
+        F.approx_count_distinct(F.concat_ws("", "l", "r")).alias("v")
+    ).first()["v"]
+    small = n_bigrams <= max_broadcast_bigrams
+    scored = (
+        bg.join(F.broadcast(c2) if small else c2, ["l", "r"])
+        .join(F.broadcast(c1) if small else c1, "l")
+        .select(
+            "id",
+            F.round(-10 * F.log10(F.col("c2").cast("double") / F.col("c1")))
+            .cast("int")
+            .alias("db"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("db").cast("double") / F.count("*"), 4).alias("mean_deciban"),
+    )
+    return base.select("id").join(agg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("mean_deciban"), F.lit(0.0)).alias("mean_deciban"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over the normalized text — the
     content-identity key used by exact dedup and the URL-seen family

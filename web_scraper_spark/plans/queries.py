@@ -2406,3 +2406,115 @@ def q51_simhash_near_dup(spark, sf_dir):
     identical by the perfect-recall guarantee)."""
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.simhash_near_dups_md5(d, "text", "doc_id", max_hamming=4, n_blocks=6)
+
+
+# =====================================================================
+# Lexical similarity search: BM25 top-k over an inverted index — the
+# sparse-retrieval complement to the embedding-cosine family (q27/q53).
+# =====================================================================
+@query(
+    "q83_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    tfc AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+    posting AS (
+      SELECT f.doc_id, f.term, f.tf, d.dl, g.df
+      FROM tfc f JOIN dl d USING (doc_id) JOIN dfreq g USING (term), stats s
+      WHERE g.df <= CAST(floor(0.78 * s.n) AS BIGINT)),
+    qterms AS (
+      SELECT DISTINCT query_id, term
+      FROM (SELECT doc_id AS query_id, unnest(t[1:5]) AS term FROM toks
+            WHERE doc_id % 50 = 0)),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(ln((s.n - p.df + 0.5)/(p.df + 0.5) + 1) *
+                  ((p.tf * (1.2 + 1)) /
+                   (p.tf + 1.2 * (0.25 + 0.75 * (p.dl / s.avgdl))))
+                  * 1000000) AS BIGINT) AS contrib
+      FROM qterms q JOIN posting p USING (term), stats s),
+    agg AS (
+      SELECT query_id, doc_id,
+             CAST(sum(contrib) AS BIGINT) AS score_micros,
+             count(*) AS n_terms
+      FROM scored GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rnk,
+             score_micros, n_terms
+      FROM agg)
+    SELECT query_id, doc_id, rnk, score_micros, n_terms
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q83_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval: every 50th document's first five tokens
+    form a query; scores are summed integer-micros contributions over
+    the df-capped inverted index, ranked with the (score desc, doc_id)
+    unique tie-break. The df cap is the hot-term skew bound —
+    identical rule in the oracle; 0.78 here (vs the operator's 0.5
+    default) because the synthetic corpus draws from a ~31-term
+    vocabulary whose document frequencies cluster at ~75-80%, so the
+    gate exercises BOTH cap outcomes instead of capping everything."""
+    d = _load(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    qs = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("q_text"),
+    )
+    out = S.bm25_topk(d, qs, k=10, max_df_frac=0.78)
+    return out.select(
+        "query_id", "doc_id", F.col("rank").alias("rnk"), "score_micros", "n_terms"
+    )
+
+
+# =====================================================================
+# CCNet-style LM quality, bigram order: mean per-bigram surprisal
+# under the corpus's own bigram model (q66's sharper sibling).
+# =====================================================================
+@query(
+    "q84_bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+      FROM toks WHERE len(t) >= 2),
+    c2 AS (SELECT l, r, count(*) AS c2 FROM bg GROUP BY l, r),
+    c1 AS (SELECT l, count(*) AS c1 FROM bg GROUP BY l),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(-10 * log10(CAST(c2 AS DOUBLE) / c1)) AS INT) AS db
+      FROM bg JOIN c2 USING (l, r) JOIN c1 USING (l)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(CAST(sum(db) AS DOUBLE) / count(*), 4) AS mean_deciban
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.mean_deciban, 0.0) AS mean_deciban
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q84_bigram_surprisal(spark, sf_dir):
+    """Per-document mean bigram surprisal against the corpus's own
+    P(r | l) model, quantized to integer decibans per bigram (order-
+    independent sums). Docs with < 2 tokens report (0, 0.0)."""
+    d = _load(spark, sf_dir, "documents")
+    out = TX.bigram_surprisal(d, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bigrams", "mean_deciban"
+    )
