@@ -1155,3 +1155,39 @@ def test_bm25_topk_ranking_and_tiebreak(spark):
     full = bm25_topk(docs, qs, k=10).collect()
     assert [r["doc_id"] for r in full] == [1, 2, 3]
     assert full[1]["score_micros"] == full[2]["score_micros"]
+
+
+def test_integer_pagerank_manual(spark):
+    """Hand-computed two-iteration ranks on a 3-node chain plus a
+    dangling sink; repartitioned input gives identical ranks (integer
+    arithmetic is parallelism-independent)."""
+    from web_scraper_spark.operators.graph import integer_pagerank
+
+    # a -> b, a -> c, b -> c ; c dangling (sends nothing)
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")],  # dup edge deduped
+        "src string, dst string",
+    )
+    out = {r["node"]: r["rank_micros"] for r in integer_pagerank(e, iterations=2).collect()}
+    # iter1: contrib a->b = 1e6 div 2 = 500000, a->c = 500000, b->c = 1e6
+    #   b = 150000 + 85*500000 div 100 = 575000
+    #   c = 150000 + 85*1500000 div 100 = 1425000 ; a = 150000
+    # iter2: a->b = 150000 div 2 = 75000 -> b = 150000 + 63750 = 213750
+    #   a->c = 75000, b->c = 575000 -> c = 150000 + (85*650000) div 100 = 702500
+    assert out == {"a": 150000, "b": 213750, "c": 702500}
+
+    out2 = {
+        r["node"]: r["rank_micros"]
+        for r in integer_pagerank(e.repartition(7), iterations=2).collect()
+    }
+    assert out2 == out
+
+
+def test_integer_pagerank_validates_damping(spark):
+    from web_scraper_spark.operators.graph import integer_pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        integer_pagerank(e, damping_pct=101)

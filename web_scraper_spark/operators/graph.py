@@ -1,0 +1,103 @@
+"""Link-graph operators for crawl prioritization.
+
+A URL frontier at 10^10 scale cannot fetch everything first-come:
+the scheduler wants a host-authority signal (which hosts does the
+already-crawled web point at?) to order the priority queue. This
+module provides an integer-exact PageRank over an edge DataFrame —
+the classic authority score, engineered for engine portability the
+same way the dedup family is: ALL arithmetic is integer (micros
+scale, ``div`` floor division), so sums are order-independent and a
+SQL oracle reproduces every rank bit-for-bit. Floating-point
+PageRank would drift across aggregation schedules and engines;
+integer PageRank cannot.
+
+Reference analog: none — the reference crawls breadth-first within
+one site (contxt/scraper.py's queue). This is the beyond-reference
+scale feature: cross-host frontier prioritization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank unit: 1.0 == 1_000_000 micros
+_UNIT = 1_000_000
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping_pct: int = 85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Unnormalized PageRank with exact integer arithmetic.
+
+    Semantics (fixed, engine-portable):
+    - edges are deduplicated (distinct (src, dst));
+    - every node (union of srcs and dsts) starts at 1.0 ( = 1e6
+      micros);
+    - one iteration: each node sends ``rank div outdeg`` micros down
+      every out-edge (floor division — exact); each node's new rank is
+      ``base + (damping_pct * incoming_sum) div 100`` where
+      ``base = (100 - damping_pct) * 10_000`` micros;
+    - nodes with no out-edges keep receiving but send nothing (their
+      rank mass vanishes — the standard simplification; documented
+      rather than redistributed so the oracle stays one join per
+      iteration);
+    - nodes with no in-edges settle at ``base``.
+
+    Because every step is integer, the result is identical at any
+    parallelism and in any engine with 64-bit integer division — the
+    q85 oracle replays both iterations in SQL.
+
+    Scale shape: per iteration, one equi-join of edges with the rank
+    table on ``src`` and one ``groupBy(dst)`` sum — shuffles only on
+    node keys. At web scale pre-partition ``edges`` by ``src`` once
+    (the join then reuses that exchange every iteration) and let AQE
+    split the hot-dst aggregation (popular hosts are exactly the
+    skewed keys). Lineage is cut with ``localCheckpoint`` every
+    ``checkpoint_every`` iterations, as in connected_components.
+    Overflow headroom: ranks are ≤ (in-degree · 1e6)-ish micros —
+    int64 overflows only past ~9·10^12 total incoming mass, i.e.
+    never for damping < 100 on real graphs (total mass is bounded by
+    N·1e6 / (1 − damping)).
+
+    Returns (node, rank_micros).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    base = (100 - damping_pct) * 10_000
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    sends = e.join(outdeg, "src")
+    ranks = nodes.select(
+        "node", F.lit(_UNIT).cast("long").alias("rank_micros")
+    )
+    for i in range(iterations):
+        contrib = sends.join(
+            ranks.select(F.col("node").alias("src"), "rank_micros"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_micros div outdeg").alias("c"),
+        )
+        inc = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_pct} * coalesce(s, 0L)) div 100"
+                ).cast("long")
+            ).alias("rank_micros"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import columns as C
 from ..operators import dedup as D
 from ..operators import relational as R
+from ..operators import graph as G
 from ..operators import similarity as S
 from ..operators import text as TX
 
@@ -1472,7 +1473,7 @@ def q72_duplicate_spans(spark, sf_dir):
     windows shared across ≥ 2 docs) — the distributable form of
     suffix-array ExactSubstr dedup. One digest groupBy, no self-join."""
     d = _load(spark, sf_dir, "documents")
-    out = D.duplicate_span_stats(d, "text", "doc_id", window=8, min_docs=2)
+    out = D.duplicate_span_stats(d, "text", "doc_id", window=8, min_docs=2, persist=True)
     return out.select(
         F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_fraction"
     )
@@ -1519,7 +1520,7 @@ def q77_duplicate_span_ranges(spark, sf_dir):
     one per-doc ordering window; the oracle re-derives the interval
     merge with the same lag/cumsum sessionize."""
     d = _load(spark, sf_dir, "documents")
-    out = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2)
+    out = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2, persist=True)
     return out.select(
         F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
     )
@@ -1586,7 +1587,7 @@ def q80_remove_spans(spark, sf_dir):
     md5'd for the hash compare (long strings); the oracle re-derives
     the spans and the cut with a NOT-EXISTS range condition."""
     d = _load(spark, sf_dir, "documents")
-    spans = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2)
+    spans = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2, persist=True)
     out = D.remove_duplicate_spans(d, spans, "text", "doc_id")
     return out.select(
         F.col("id").alias("doc_id"),
@@ -2518,3 +2519,55 @@ def q84_bigram_surprisal(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), "n_bigrams", "mean_deciban"
     )
+
+
+# =====================================================================
+# Crawl prioritization: integer-exact PageRank host authority over
+# the supplier→customer shipment graph (the frontier's priority
+# signal at 10^10-URL scale; see operators/graph.py).
+# =====================================================================
+@query(
+    "q85_host_authority",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    i1 AS (
+      SELECT e.dst AS node, CAST(sum(r.r // o.outdeg) AS BIGINT) AS s
+      FROM e JOIN outd o USING (src) JOIN r0 r ON r.node = e.src
+      GROUP BY e.dst),
+    r1 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN i1 i ON i.node = n.node),
+    i2 AS (
+      SELECT e.dst AS node, CAST(sum(r.r // o.outdeg) AS BIGINT) AS s
+      FROM e JOIN outd o USING (src) JOIN r1 r ON r.node = e.src
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT)
+               AS rank_micros
+      FROM nodes n LEFT JOIN i2 i ON i.node = n.node)
+    SELECT node, rank_micros FROM r2
+    """,
+)
+def q85_host_authority(spark, sf_dir):
+    """Two integer-PageRank iterations over the distinct
+    supplier→customer edge set (damping 85%, micros scale, floor
+    division) — every arithmetic step is 64-bit integer, so the rank
+    table is identical at any parallelism and the oracle replays both
+    iterations in SQL. The real deployment feeds host→host link
+    edges from crawled pages into the same operator to order the
+    frontier's priority queue."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return G.integer_pagerank(edges, iterations=2, damping_pct=85)
