@@ -45,7 +45,8 @@ BENCH_QUERIES = [
     "q72_duplicate_spans", "q73_decontamination", "q74_stratified_sample",
     "q75_curation_run", "q76_pack_sequences", "q77_duplicate_span_ranges",
     "q78_token_distribution", "q79_script_detect", "q80_remove_spans",
-    "q81_hash_split", "q82_token_budget",
+    "q81_hash_split", "q82_token_budget", "q83_bm25_topk",
+    "q84_bigram_surprisal", "q85_host_authority",
 ]
 
 

@@ -415,6 +415,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_frac: float = 0.5,
+    persist: bool = False,
 ) -> DataFrame:
     """Lexical similarity search: BM25 top-k retrieval over an
     inverted index built from the corpus — the sparse complement to
@@ -444,6 +445,17 @@ def bm25_topk(
     queries fit a partition each; at huge query batches swap the
     window for groupBy + slice(sort_array(...)).
 
+    ``persist=True`` caches the (doc, term, tf) index between its two
+    consumers (posting build and document frequency) — without it the
+    tokenize+explode subtree runs once per consumer (no
+    ReusedExchange: the subtrees differ past the aggregate). The
+    returned DataFrame is then materialized (localCheckpoint) so the
+    cache can be released here — same contract as
+    ``duplicate_spans(persist=True)``. At 100 TB this is the
+    difference between one and three corpus scans; default off for
+    small inputs where the extra materialization costs more than the
+    recompute.
+
     Returns (query_id, doc_id, rank, score_micros, n_terms).
     """
     tok = lambda c: F.split(
@@ -456,6 +468,9 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    if persist:
+        dl = dl.persist()
+        tf = tf.persist()
     stats = dl.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -496,8 +511,13 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micros").desc(), F.col("doc_id")
     )
-    return (
+    out = (
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score_micros", "n_terms")
     )
+    if persist:
+        out = out.localCheckpoint()
+        tf.unpersist()
+        dl.unpersist()
+    return out

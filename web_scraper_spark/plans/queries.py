@@ -1473,7 +1473,7 @@ def q72_duplicate_spans(spark, sf_dir):
     windows shared across ≥ 2 docs) — the distributable form of
     suffix-array ExactSubstr dedup. One digest groupBy, no self-join."""
     d = _load(spark, sf_dir, "documents")
-    out = D.duplicate_span_stats(d, "text", "doc_id", window=8, min_docs=2, persist=True)
+    out = D.duplicate_span_stats(d, "text", "doc_id", window=8, min_docs=2)
     return out.select(
         F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_fraction"
     )
@@ -2474,7 +2474,7 @@ def q83_bm25_topk(spark, sf_dir):
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(toks, 1, 5)).alias("q_text"),
     )
-    out = S.bm25_topk(d, qs, k=10, max_df_frac=0.78)
+    out = S.bm25_topk(d, qs, k=10, max_df_frac=0.78, persist=True)
     return out.select(
         "query_id", "doc_id", F.col("rank").alias("rnk"), "score_micros", "n_terms"
     )
