@@ -1182,6 +1182,12 @@ def test_integer_pagerank_manual(spark):
     }
     assert out2 == out
 
+    out3 = {
+        r["node"]: r["rank_micros"]
+        for r in integer_pagerank(e, iterations=2, persist=True).collect()
+    }
+    assert out3 == out
+
 
 def test_integer_pagerank_validates_damping(spark):
     from web_scraper_spark.operators.graph import integer_pagerank

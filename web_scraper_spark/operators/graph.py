@@ -32,6 +32,7 @@ def integer_pagerank(
     iterations: int = 2,
     damping_pct: int = 85,
     checkpoint_every: int = 4,
+    persist: bool = False,
 ) -> DataFrame:
     """Unnormalized PageRank with exact integer arithmetic.
 
@@ -60,7 +61,13 @@ def integer_pagerank(
     split the hot-dst aggregation (popular hosts are exactly the
     skewed keys). Lineage is cut with ``localCheckpoint`` every
     ``checkpoint_every`` iterations, as in connected_components.
-    Overflow headroom: ranks are ≤ (in-degree · 1e6)-ish micros —
+    ``persist=True`` caches the deduped sends table (edges ⨝
+    out-degree) and the node list across iterations — without it the
+    edge ``distinct`` shuffle re-runs once per consumer per iteration
+    — and returns a MATERIALIZED rank table so both caches release
+    here (the duplicate_spans persist contract). At web scale this is
+    mandatory; default off so tiny gate/test graphs skip the
+    materialization round-trip. Overflow headroom: ranks are ≤ (in-degree · 1e6)-ish micros —
     int64 overflows only past ~9·10^12 total incoming mass, i.e.
     never for damping < 100 on real graphs (total mass is bounded by
     N·1e6 / (1 − damping)).
@@ -78,6 +85,9 @@ def integer_pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     sends = e.join(outdeg, "src")
+    if persist:
+        nodes = nodes.persist()
+        sends = sends.persist()
     ranks = nodes.select(
         "node", F.lit(_UNIT).cast("long").alias("rank_micros")
     )
@@ -100,4 +110,8 @@ def integer_pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
+    if persist:
+        ranks = ranks.localCheckpoint()
+        sends.unpersist()
+        nodes.unpersist()
     return ranks
