@@ -120,11 +120,16 @@ def main() -> None:
     # wall budget: never let extra passes risk an external timeout —
     # pass 0 always completes; later passes stop once the budget is
     # spent (their queries keep pass-0 values)
-    budget_s = float(os.environ.get("BENCH_QUERY_BUDGET_S", 300))
+    budget_s = float(os.environ.get("BENCH_QUERY_BUDGET_S", 450))
     suite_t0 = time.time()
     timings: dict[str, float] = {}
     for p in range(n_passes):
-        for name in BENCH_QUERIES:
+        # odd passes run the list in reverse: if the budget cuts a
+        # pass short, the cutoff then lands on DIFFERENT queries each
+        # pass instead of always starving the expensive tail, so every
+        # query still gets two drift-window samples in expectation
+        order = BENCH_QUERIES if p % 2 == 0 else list(reversed(BENCH_QUERIES))
+        for name in order:
             if p > 0 and time.time() - suite_t0 > budget_s:
                 print(f"# budget reached; stopping at pass {p}", file=sys.stderr)
                 break
