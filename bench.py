@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "q75_curation_run", "q76_pack_sequences", "q77_duplicate_span_ranges",
     "q78_token_distribution", "q79_script_detect", "q80_remove_spans",
     "q81_hash_split", "q82_token_budget", "q83_bm25_topk",
-    "q84_bigram_surprisal", "q85_host_authority",
+    "q84_bigram_surprisal", "q85_host_authority", "q86_quality_model",
+    "q87_perplexity_buckets", "q88_chunk_tokens",
 ]
 
 

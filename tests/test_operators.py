@@ -1197,3 +1197,91 @@ def test_integer_pagerank_validates_damping(spark):
 
     with _pytest.raises(ValueError):
         integer_pagerank(e, damping_pct=101)
+
+
+def test_linear_quality_score_orders_and_validates(spark):
+    """Stopword-bearing prose outranks punctuation soup under the
+    default model; custom weights shift scores; unknown feature names
+    raise."""
+    import pytest as _pytest
+
+    from web_scraper_spark.operators.text import linear_quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was good that it sat with us"),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", linear_quality_score(df.text).alias("s")).collect()
+    }
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+    harsh = {r["id"]: r["s"] for r in df.select(
+        "id",
+        linear_quality_score(df.text, weights={"punct_ratio": -10.0}).alias("s"),
+    ).collect()}
+    assert harsh[2] < out[2]
+
+    with _pytest.raises(ValueError):
+        linear_quality_score(df.text, weights={"nope": 1.0})
+
+
+def test_perplexity_buckets_tercile_split(spark):
+    """With the full corpus as the sample, terciles split 30 docs
+    10/10/10 and bucket order follows surprisal order; n_buckets < 2
+    raises."""
+    import pytest as _pytest
+
+    from web_scraper_spark.operators.text import perplexity_buckets
+
+    # 3 surprisal tiers: common tokens, mixed, rare-per-doc tokens
+    rows = [(i, "alpha beta gamma " * 4) for i in range(10)]
+    rows += [(i, "alpha beta rare%d " % i) for i in range(10, 20)]
+    rows += [(i, "unique%d only%d here%d " % (i, i, i)) for i in range(20, 30)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = perplexity_buckets(df, "text", "id", n_buckets=3).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert {len(v) for v in by_bucket.values()} == {10}
+    assert max(r["mean_deciban"] for r in by_bucket[1]) <= min(
+        r["mean_deciban"] for r in by_bucket[2]
+    )
+    assert max(r["mean_deciban"] for r in by_bucket[2]) <= min(
+        r["mean_deciban"] for r in by_bucket[3]
+    )
+
+    with _pytest.raises(ValueError):
+        perplexity_buckets(df, "text", "id", n_buckets=1)
+
+
+def test_chunk_tokens_manual(spark):
+    """10 tokens at chunk_size=4/stride=3 -> 4 chunks with the short
+    remainder; disjoint mode covers exactly; bad params raise."""
+    import pytest as _pytest
+
+    from web_scraper_spark.operators.text import chunk_tokens
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks)], "id int, text string")
+    out = sorted(
+        chunk_tokens(df, "text", "id", chunk_size=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert out[3]["chunk_text"] == "t9"
+
+    disjoint = sorted(
+        chunk_tokens(df, "text", "id", chunk_size=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert " ".join(r["chunk_text"] for r in disjoint) == toks
+
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, "text", "id", chunk_size=0)

@@ -13,7 +13,7 @@ whitespace word count (contxt/scraper.py:533-534,624-625) and the
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -430,3 +430,162 @@ def positional_fingerprint(text: Column, window: int = 8) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(size - window, F.lit(0)))
     digests = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
     return F.array_min(digests)
+
+
+#: fixed feature order for the linear quality model — the z-sum is
+#: evaluated in THIS order on both engines (float addition is not
+#: associative; a fixed order keeps the sigmoid argument bit-identical)
+QUALITY_MODEL_FEATURES: tuple[str, ...] = (
+    "mean_word_len",
+    "punct_ratio",
+    "stopword_ratio",
+    "upper_ratio",
+)
+
+#: default hand-set model: rewards stopword-bearing prose, penalizes
+#: punctuation soup and shouting (DCLM-style classifier inference
+#: seam — swap in trained weights without touching the plan)
+DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
+    "mean_word_len": 0.1,
+    "punct_ratio": -3.0,
+    "stopword_ratio": 2.0,
+    "upper_ratio": -1.5,
+}
+
+
+def linear_quality_score(
+    text: Column,
+    weights: dict[str, float] | None = None,
+    bias: float = 0.5,
+) -> Column:
+    """Model-based quality filter inference (the DCLM/fineweb-edu
+    pattern: a lightweight classifier scores every document and a
+    threshold gates the corpus): sigmoid(bias + w·f) over the
+    :func:`quality_features` ratio vector, as a pure Column
+    expression — classifier inference at 100 TB is exactly a scan.
+
+    Engine portability: the features are the ROUNDED ratios (4 dp,
+    identical on both engines), the weighted sum is accumulated in
+    the fixed ``QUALITY_MODEL_FEATURES`` order, and the sigmoid
+    output is rounded to 6 dp. Returns a DOUBLE in [0, 1]."""
+    w = dict(DEFAULT_QUALITY_WEIGHTS) if weights is None else weights
+    unknown = set(w) - set(QUALITY_MODEL_FEATURES)
+    if unknown:
+        raise ValueError(f"unknown quality features: {sorted(unknown)}")
+    f = quality_features(text)
+    z = F.lit(float(bias))
+    for name in QUALITY_MODEL_FEATURES:
+        if name in w:
+            z = z + F.lit(float(w[name])) * f[name]
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def perplexity_buckets(
+    df,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+    sample_ppm: int = 1_000_000,
+    salt: str = "ppl",
+):
+    """CCNet-style perplexity partitioning: split the corpus into
+    head/middle/tail (or ``n_buckets`` generally) by LM surprisal —
+    CCNet trains on the head, inspects the tail.
+
+    Scale design: bucket THRESHOLDS come from a bounded DETERMINISTIC
+    hash sample (``sample_ppm`` of :func:`unigram_surprisal` rows by
+    the shared md5-ppm bucket of the id — same idiom as
+    deterministic_sample), ranked with one row_number window over the
+    sample ONLY (bounded rows — never a global sort of the corpus);
+    the full corpus is then bucketed by comparing each row's
+    (mean_deciban, id) key to the broadcast cutoffs — a pure
+    expression scan. This is how quantile bucketing survives 100 TB:
+    exact quantiles of a deterministic sample, not a total order over
+    the data. Cutoff ranks are ``ceil(i·m/n)`` over the m sample rows;
+    ties break by id, so the split is exact and engine-portable
+    (the oracle replays sample, ranks, and comparisons in SQL).
+
+    Returns (id, n_tokens, mean_deciban, bucket) with bucket in
+    [1, n_buckets]; bucket 1 is the LOW-surprisal head."""
+    from .relational import _ppm_bucket
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    s = unigram_surprisal(df, text_col, id_col)
+    samp = s.filter(_ppm_bucket("id", salt) < sample_ppm)
+    w = Window.orderBy("mean_deciban", "id")
+    m_w = Window.partitionBy()
+    ordered = samp.select(
+        "id",
+        "mean_deciban",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(m_w).alias("m"),
+    )
+    cut_aggs = []
+    for i in range(1, n_buckets):
+        rank_i = F.ceil(F.col("m") / F.lit(float(n_buckets)) * i).cast("long")
+        hit = F.col("rn") == rank_i
+        cut_aggs.append(
+            F.max(F.when(hit, F.col("mean_deciban"))).alias(f"c{i}db")
+        )
+        cut_aggs.append(F.max(F.when(hit, F.col("id"))).alias(f"c{i}id"))
+    cuts = ordered.agg(*cut_aggs)
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        above = (F.col("mean_deciban") > F.col(f"c{i}db")) | (
+            (F.col("mean_deciban") == F.col(f"c{i}db"))
+            & (F.col("id") > F.col(f"c{i}id"))
+        )
+        bucket = bucket + F.when(above, 1).otherwise(0)
+    return s.crossJoin(F.broadcast(cuts)).select(
+        "id",
+        "n_tokens",
+        "mean_deciban",
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def chunk_tokens(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_size: int,
+    stride: int | None = None,
+):
+    """Context-window chunking: split each document's normalized
+    token stream into ``chunk_size``-token windows starting every
+    ``stride`` tokens (``stride`` defaults to ``chunk_size`` —
+    disjoint; smaller gives the standard overlapped training chunks)
+    for as long as the start is inside the document. The last chunk
+    is the remainder (short), matching the usual LM data-prep rule.
+
+    Pure per-row expression (sequence → posexplode → slice): no
+    shuffle, no UDF — chunking 100 TB is one scan. Returns
+    (id, chunk_idx, chunk_text, n_tokens)."""
+    if stride is None:
+        stride = chunk_size
+    if chunk_size < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_size and stride must be >= 1, got {chunk_size}, {stride}"
+        )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    n = F.size("t")
+    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    idxs = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    piece = F.slice(
+        F.col("t"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        base.select("id", "t", F.explode(idxs).alias("chunk_idx"))
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+    )

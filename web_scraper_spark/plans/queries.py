@@ -2571,3 +2571,147 @@ def q85_host_authority(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
     )
     return G.integer_pagerank(edges, iterations=2, damping_pct=85)
+
+
+# =====================================================================
+# Model-based quality filtering: linear classifier inference over the
+# quality-feature vector (the DCLM/fineweb-edu pattern) — q14's rule
+# score replaced by a weighted sigmoid, still a pure expression scan.
+# =====================================================================
+@query(
+    "q86_quality_model",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\\s+')) END AS n_words,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        (len(regexp_extract_all(lower(text),'\\bthe\\b'))
+         + len(regexp_extract_all(lower(text),'\\band\\b'))
+         + len(regexp_extract_all(lower(text),'\\bof\\b'))
+         + len(regexp_extract_all(lower(text),'\\bto\\b'))
+         + len(regexp_extract_all(lower(text),'\\bin\\b'))
+         + len(regexp_extract_all(lower(text),'\\bis\\b'))
+         + len(regexp_extract_all(lower(text),'\\bthat\\b'))
+         + len(regexp_extract_all(lower(text),'\\bwith\\b'))) AS n_stop,
+        len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+        round(CAST(n_chars AS DOUBLE)/greatest(n_words,1), 4) AS mwl,
+        round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 4) AS pr,
+        round(CAST(n_stop AS DOUBLE)/greatest(n_words,1), 4) AS sr,
+        round(CAST(n_upper AS DOUBLE)/greatest(n_chars,1), 4) AS ur
+      FROM f)
+    SELECT doc_id,
+      round(1.0/(1.0 + exp(-(0.5 + 0.1*mwl + -3.0*pr + 2.0*sr + -1.5*ur))), 6)
+        AS model_score
+    FROM r
+    """,
+)
+def q86_quality_model(spark, sf_dir):
+    """Linear quality-classifier inference: sigmoid over the rounded
+    feature ratios with the default hand-set weights, weighted sum
+    accumulated in the fixed QUALITY_MODEL_FEATURES order so the
+    float arithmetic is bit-identical to the oracle's left-assoc
+    expression."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.linear_quality_score(F.col("text")).alias("model_score"),
+    )
+
+
+# =====================================================================
+# CCNet perplexity partitioning: head/middle/tail buckets by LM
+# surprisal, thresholds from a bounded deterministic hash sample.
+# =====================================================================
+@query(
+    "q87_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+    scored AS (
+      SELECT doc_id, CAST(round(-10 * log10(c / t)) AS INT) AS db
+      FROM toks JOIN cnt USING (tok), tot),
+    s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(sum(db) AS DOUBLE) / count(*), 4) AS mean_deciban
+      FROM scored GROUP BY doc_id),
+    samp AS (SELECT doc_id, mean_deciban FROM s
+             WHERE {{bucket}} < 500000),
+    ordered AS (
+      SELECT doc_id, mean_deciban,
+             row_number() OVER (ORDER BY mean_deciban, doc_id) AS rn,
+             count(*) OVER () AS m
+      FROM samp),
+    cut AS (
+      SELECT
+        max(CASE WHEN rn = CAST(ceil(m / 3.0 * 1) AS BIGINT) THEN mean_deciban END) AS c1db,
+        max(CASE WHEN rn = CAST(ceil(m / 3.0 * 1) AS BIGINT) THEN doc_id END) AS c1id,
+        max(CASE WHEN rn = CAST(ceil(m / 3.0 * 2) AS BIGINT) THEN mean_deciban END) AS c2db,
+        max(CASE WHEN rn = CAST(ceil(m / 3.0 * 2) AS BIGINT) THEN doc_id END) AS c2id
+      FROM ordered)
+    SELECT doc_id, n_tokens, mean_deciban,
+      CAST(1
+        + CASE WHEN (mean_deciban > c1db
+                     OR (mean_deciban = c1db AND doc_id > c1id)) THEN 1 ELSE 0 END
+        + CASE WHEN (mean_deciban > c2db
+                     OR (mean_deciban = c2db AND doc_id > c2id)) THEN 1 ELSE 0 END
+        AS INT) AS bucket
+    FROM s, cut
+    """.replace("{bucket}", _bucket_sql("doc_id", "ppl")),
+)
+def q87_perplexity_buckets(spark, sf_dir):
+    """Head/middle/tail perplexity terciles: surprisal thresholds are
+    exact quantiles of a 50% deterministic hash sample (rank window
+    over the BOUNDED sample only — never a global corpus sort), the
+    corpus bucketed by a broadcast comparison. CCNet's partitioning,
+    scale-shaped."""
+    d = _load(spark, sf_dir, "documents")
+    out = TX.perplexity_buckets(
+        d, "text", "doc_id", n_buckets=3, sample_ppm=500_000, salt="ppl"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "mean_deciban", "bucket"
+    )
+
+
+# =====================================================================
+# Context-window chunking: the tokenize→chunk step of LM data prep
+# (overlapped fixed-size windows), as a pure expression scan.
+# =====================================================================
+@query(
+    "q88_chunk_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             unnest(range(CAST(ceil(len(t) / 48.0) AS BIGINT))) AS chunk_idx
+      FROM toks)
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(t, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(t, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
+             AS n_tokens
+    FROM c
+    """,
+)
+def q88_chunk_tokens(spark, sf_dir):
+    """64-token chunks every 48 tokens (16-token overlap) over the
+    normalized token stream — sequence+slice+posexplode, one scan, no
+    shuffle; the remainder chunk is short, per the usual LM data-prep
+    rule."""
+    d = _load(spark, sf_dir, "documents")
+    out = TX.chunk_tokens(d, "text", "doc_id", chunk_size=64, stride=48)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_text", "n_tokens"
+    )
