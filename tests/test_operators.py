@@ -1285,3 +1285,58 @@ def test_chunk_tokens_manual(spark):
 
     with _pytest.raises(ValueError):
         chunk_tokens(df, "text", "id", chunk_size=0)
+
+
+def test_chunk_tokens_python_parity_varied_shapes(spark):
+    """Exact parity with a Python reference over varied doc lengths
+    and (chunk_size, stride) combos, incl. overlap, stride > size
+    (gaps are allowed by the while-start<n rule), and 1-token docs."""
+    from web_scraper_spark.operators.text import chunk_tokens
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(i % 17))) for i in range(1, 40)]
+    # i%17 == 0 gives empty text -> the house tokenizer yields [''] (1 token)
+    df = spark.createDataFrame(docs, "id int, text string")
+    for size, stride in ((5, 3), (4, 4), (3, 7), (1, 1)):
+        got = {}
+        for r in chunk_tokens(df, "text", "id", chunk_size=size, stride=stride).collect():
+            got.setdefault(r["id"], []).append(
+                (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            )
+        for i, text in docs:
+            toks = text.split(" ") if text else [""]
+            toks = [t for t in " ".join(toks).strip().split(" ")] if text.strip() else [""]
+            want = []
+            s, idx = 0, 0
+            while s < len(toks):
+                piece = toks[s : s + size]
+                want.append((idx, " ".join(piece), len(piece)))
+                s += stride
+                idx += 1
+            assert sorted(got.get(i, [])) == want, (i, size, stride)
+
+
+def test_integer_pagerank_python_parity(spark):
+    """Exact parity with a sequential Python implementation of the
+    integer recurrence on a seeded pseudo-random graph, 3 iterations."""
+    from web_scraper_spark.operators.graph import integer_pagerank
+
+    edges = sorted({((i * 7) % 23, (i * i * 5 + 3) % 23) for i in range(60)})
+    edges = [(a, b) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in integer_pagerank(df, iterations=3, damping_pct=85).collect()
+    }
+
+    es = sorted(set(edges))
+    nodes = sorted({a for a, _ in es} | {b for _, b in es})
+    outdeg = {}
+    for a, _ in es:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        inc = {}
+        for a, b in es:
+            inc[b] = inc.get(b, 0) + rank[a] // outdeg[a]
+        rank = {v: 150_000 + (85 * inc.get(v, 0)) // 100 for v in nodes}
+    assert got == rank
