@@ -1340,3 +1340,35 @@ def test_integer_pagerank_python_parity(spark):
             inc[b] = inc.get(b, 0) + rank[a] // outdeg[a]
         rank = {v: 150_000 + (85 * inc.get(v, 0)) // 100 for v in nodes}
     assert got == rank
+
+
+def test_duplicate_spans_keep_first_policy(spark):
+    """keep_first: per shared digest the min-(id, pos) occurrence
+    survives — including a repeat INSIDE the keeper doc — while
+    cut_all reports every occurrence; bad policy raises."""
+    import pytest as _pytest
+
+    from web_scraper_spark.operators.dedup import duplicate_spans
+
+    s = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [(1, f"{s} z {s}"), (2, s)], "doc_id int, text string"
+    )
+    cut_all = {
+        (r["id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "text", "doc_id", window=8).collect()
+    }
+    # doc 1 holds the shared window at pos 0 AND pos 9; doc 2 at pos 0
+    assert cut_all == {(1, 0, 7), (1, 9, 16), (2, 0, 7)}
+
+    keep1 = {
+        (r["id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(
+            df, "text", "doc_id", window=8, policy="keep_first"
+        ).collect()
+    }
+    # keeper is (doc 1, pos 0): its second occurrence and doc 2's are cut
+    assert keep1 == {(1, 9, 16), (2, 0, 7)}
+
+    with _pytest.raises(ValueError):
+        duplicate_spans(df, "text", "doc_id", policy="nope")

@@ -426,6 +426,7 @@ def duplicate_spans(
     min_docs: int = 2,
     sample_mod: int = 1,
     persist: bool = False,
+    policy: str = "cut_all",
 ) -> DataFrame:
     """Merged duplicated-token INTERVALS per document — the span-level
     output of ExactSubstr dedup (which tokens to cut, not just how
@@ -448,9 +449,26 @@ def duplicate_spans(
     cache released before return), as in
     :func:`duplicate_span_stats`.
 
+    ``policy`` selects which occurrences are reported for cutting:
+
+    - ``"cut_all"`` (default): every occurrence of a shared window is
+      a span — feeding :func:`remove_duplicate_spans` deletes the
+      duplicated text EVERYWHERE (decontamination-style).
+    - ``"keep_first"``: the canonical Lee et al. 2022 rule — the
+      duplicated substring survives in exactly one place. Per shared
+      digest the lexicographically-first occurrence (min (id, pos))
+      is the keeper and is NOT reported; all other occurrences are.
+      Keeper election is one more groupBy + join on the digest key
+      (same shuffle key the shared-set aggregate already used), so
+      the scale shape is unchanged.
+
     Returns (id, span_start, span_end, n_windows) in 0-based token
     coordinates, span_end inclusive.
     """
+    if policy not in ("cut_all", "keep_first"):
+        raise ValueError(
+            f"policy must be 'cut_all' or 'keep_first', got {policy!r}"
+        )
     exploded = _sampled_window_rows(df, text_col, id_col, window, sample_mod)
     if persist:
         exploded = exploded.persist()
@@ -460,6 +478,20 @@ def duplicate_spans(
         .filter(F.col("nd") >= min_docs)
     )
     flagged = exploded.join(shared.select("h"), "h", "left_semi")
+    if policy == "keep_first":
+        keeper = flagged.groupBy("h").agg(
+            F.min(F.struct("id", "pos")).alias("k")
+        )
+        flagged = (
+            flagged.join(keeper, "h")
+            .filter(
+                ~(
+                    (F.col("id") == F.col("k.id"))
+                    & (F.col("pos") == F.col("k.pos"))
+                )
+            )
+            .drop("k")
+        )
     w_ord = Window.partitionBy("id").orderBy("pos")
     # break when the previous window's last token (lag+W-1) leaves a
     # gap before this window's first (pos): pos > lag + W

@@ -2715,3 +2715,61 @@ def q88_chunk_tokens(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), "chunk_idx", "chunk_text", "n_tokens"
     )
+
+
+# =====================================================================
+# ExactSubstr keep-one policy: the canonical Lee et al. 2022 rule —
+# the duplicated substring survives in exactly one occurrence.
+# =====================================================================
+@query(
+    "q89_keep_first_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    wins AS (
+      SELECT doc_id,
+             unnest(range(greatest(n - 7, 0))) AS pos,
+             unnest(list_transform(range(greatest(n - 7, 0)),
+                    i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS h
+      FROM base),
+    shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    flg AS (SELECT doc_id, pos, h FROM wins WHERE h IN (SELECT h FROM shared)),
+    k1 AS (SELECT h, min(doc_id) AS kid FROM flg GROUP BY h),
+    k2 AS (SELECT f.h, k1.kid, min(f.pos) AS kpos
+           FROM flg f JOIN k1 ON f.h = k1.h AND f.doc_id = k1.kid
+           GROUP BY f.h, k1.kid),
+    cut AS (SELECT f.doc_id, f.pos FROM flg f JOIN k2 ON f.h = k2.h
+            WHERE NOT (f.doc_id = k2.kid AND f.pos = k2.kpos)),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM cut),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM lagged)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def q89_keep_first_spans(spark, sf_dir):
+    """ExactSubstr spans under the keep-first policy: per shared
+    8-token digest the lexicographically-first occurrence (min
+    (doc_id, pos)) survives; every other occurrence is reported for
+    cutting. The keeper election is the only addition over q77 — one
+    digest-keyed groupBy + join (Spark's min(struct(id, pos)) equals
+    the oracle's two-level min exactly)."""
+    d = _load(spark, sf_dir, "documents")
+    out = D.duplicate_spans(
+        d, "text", "doc_id", window=8, min_docs=2, persist=True,
+        policy="keep_first",
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
+    )
