@@ -195,3 +195,49 @@ def test_seen_compaction_size_trigger(tmp_path):
     cfg2 = CrawlConfig(ckpt_dir=str(tmp_path / "fresh"), seen_compact_ratio=0.5)
     (tmp_path / "fresh" / "round=0" / "seen").mkdir(parents=True)
     assert not seen_delta_exceeds_ratio(cfg2, 0)
+
+
+def test_parse_sitemaps_entries_and_seed_urls(spark):
+    """Sitemap parser: urlset vs index detection, entity unescaping
+    (&amp; last), optional lastmod -> NULL, whitespace/multiline locs,
+    and the seed helper excluding index locs."""
+    from web_scraper_spark.crawl.sitemaps import (
+        parse_sitemaps,
+        seed_urls_from_sitemaps,
+    )
+
+    leaf = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.com/p?x=1&amp;y=2</loc>"
+        "<lastmod> 2024-02-02 </lastmod></url>"
+        "<url>\n  <loc>\n https://a.com/q </loc>\n</url>"
+        "<url><loc>https://a.com/amp-&amp;lt;kept</loc></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://b.com/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", leaf), ("https://b.com/sitemap.xml", index)],
+        "sitemap_url string, body string",
+    )
+    out = parse_sitemaps(df)
+    rows = {(r["sitemap_url"], r["pos"]): r for r in out.collect()}
+    a = "https://a.com/sitemap.xml"
+    assert rows[(a, 0)]["loc"] == "https://a.com/p?x=1&y=2"
+    assert rows[(a, 0)]["lastmod"] == "2024-02-02"
+    assert rows[(a, 1)]["loc"] == "https://a.com/q"
+    assert rows[(a, 1)]["lastmod"] is None
+    # &amp;lt; unescapes ONE level to &lt; (amp replaced last)
+    assert rows[(a, 2)]["loc"] == "https://a.com/amp-&lt;kept"
+    assert not rows[(a, 0)]["is_index"]
+    b = "https://b.com/sitemap.xml"
+    assert rows[(b, 0)]["is_index"] and rows[(b, 1)]["loc"] == "https://b.com/s2.xml"
+
+    seeds = {r["url"] for r in seed_urls_from_sitemaps(out).collect()}
+    assert seeds == {
+        "https://a.com/p?x=1&y=2",
+        "https://a.com/q",
+        "https://a.com/amp-&lt;kept",
+    }

@@ -2773,3 +2773,105 @@ def q89_keep_first_spans(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
     )
+
+
+# =====================================================================
+# Sitemap parsing (the north star's seeding path): deterministic
+# sitemap XML synthesized per host, parsed with the pure-Column
+# regex parser — urlset leaves, index files, entity unescaping,
+# optional lastmod, multi-line entries all exercised.
+# =====================================================================
+@query(
+    "q90_sitemap_parse",
+    oracle="""
+    WITH hosts AS (
+      SELECT DISTINCT source AS host, CAST(substr(source, 4) AS INT) AS k
+      FROM documents),
+    bodies AS (
+      SELECT host, k,
+        CASE WHEN k % 4 = 0 THEN
+          '<?xml version="1.0"?><sitemapindex>'
+          || '<sitemap><loc>https://' || host || '.example.com/sitemap-a-'
+          || CAST(k AS VARCHAR) || '.xml</loc><lastmod>2024-03-05</lastmod></sitemap>'
+          || '<sitemap><loc>' || chr(10) || ' https://' || host
+          || '.example.com/sitemap-b-' || CAST(k AS VARCHAR) || '.xml </loc></sitemap>'
+          || '</sitemapindex>'
+        ELSE
+          '<?xml version="1.0"?><urlset>'
+          || '<url><loc>https://' || host || '.example.com/p/'
+          || CAST(k AS VARCHAR) || '/1</loc><lastmod>2024-01-15</lastmod></url>'
+          || '<url><loc>https://' || host || '.example.com/p/'
+          || CAST(k AS VARCHAR) || '/2?a=1&amp;b=2</loc></url>'
+          || '<url>' || chr(10) || '<loc> https://' || host || '.example.com/p/'
+          || CAST(k AS VARCHAR) || '/3 </loc></url>'
+          || '</urlset>'
+        END AS body
+      FROM hosts),
+    src AS (
+      SELECT 'https://' || host || '.example.com/sitemap.xml' AS sitemap_url,
+             body
+      FROM bodies),
+    blk AS (
+      SELECT sitemap_url, body,
+        regexp_extract_all(body, '(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>') AS bs
+      FROM src),
+    rows_ AS (
+      SELECT sitemap_url, contains(body, '<sitemapindex') AS is_index,
+        unnest(range(len(bs))) AS pos, unnest(bs) AS b
+      FROM blk),
+    ex AS (
+      SELECT sitemap_url, is_index, CAST(pos AS BIGINT) AS pos,
+        trim(regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) AS loc_raw,
+        nullif(trim(regexp_extract(b, '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1)), '')
+          AS lastmod
+      FROM rows_)
+    SELECT sitemap_url, pos,
+      replace(replace(replace(replace(replace(loc_raw,
+        '&lt;','<'), '&gt;','>'), '&quot;','"'), '&apos;', ''''), '&amp;','&')
+        AS loc,
+      lastmod, is_index
+    FROM ex
+    """,
+)
+def q90_sitemap_parse(spark, sf_dir):
+    """Deterministic per-host sitemap bodies (every 4th host gets an
+    INDEX file; urlset hosts get a lastmod entry, an entity-escaped
+    query URL, and a multi-line whitespace-padded entry) parsed by
+    crawl.sitemaps.parse_sitemaps — the pure-Column regex parser the
+    sitemap-driven frontier seeds from. The oracle synthesizes the
+    same bytes and replays both regex passes in SQL."""
+    from ..crawl.sitemaps import parse_sitemaps
+
+    d = _load(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.col("source").alias("host"),
+        F.substring("source", 4, 10).cast("int").alias("k"),
+    ).distinct()
+    h = F.col("host")
+    ks = F.col("k").cast("string")
+    nl = F.lit("\n")
+    index_body = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.lit("<sitemap><loc>https://"), h, F.lit(".example.com/sitemap-a-"),
+        ks, F.lit(".xml</loc><lastmod>2024-03-05</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>"), nl, F.lit(" https://"), h,
+        F.lit(".example.com/sitemap-b-"), ks, F.lit(".xml </loc></sitemap>"),
+        F.lit("</sitemapindex>"),
+    )
+    urlset_body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>https://"), h, F.lit(".example.com/p/"),
+        ks, F.lit("/1</loc><lastmod>2024-01-15</lastmod></url>"),
+        F.lit("<url><loc>https://"), h, F.lit(".example.com/p/"),
+        ks, F.lit("/2?a=1&amp;b=2</loc></url>"),
+        F.lit("<url>"), nl, F.lit("<loc> https://"), h, F.lit(".example.com/p/"),
+        ks, F.lit("/3 </loc></url>"),
+        F.lit("</urlset>"),
+    )
+    src = hosts.select(
+        F.concat(F.lit("https://"), h, F.lit(".example.com/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        F.when(F.col("k") % 4 == 0, index_body).otherwise(urlset_body).alias("body"),
+    )
+    return parse_sitemaps(src)
