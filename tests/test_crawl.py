@@ -212,6 +212,8 @@ def test_parse_sitemaps_entries_and_seed_urls(spark):
         "<lastmod> 2024-02-02 </lastmod></url>"
         "<url>\n  <loc>\n https://a.com/q </loc>\n</url>"
         "<url><loc>https://a.com/amp-&amp;lt;kept</loc></url>"
+        "<url><loc>https://a.com/n?q=a&#38;b&#x2F;c&#x3D;d&#39;e</loc></url>"
+        "<url><loc>https://a.com/one-level-&amp;#x2F;kept</loc></url>"
         "</urlset>"
     )
     index = (
@@ -231,6 +233,11 @@ def test_parse_sitemaps_entries_and_seed_urls(spark):
     assert rows[(a, 1)]["lastmod"] is None
     # &amp;lt; unescapes ONE level to &lt; (amp replaced last)
     assert rows[(a, 2)]["loc"] == "https://a.com/amp-&lt;kept"
+    # numeric character references (decimal + hex) decode
+    assert rows[(a, 3)]["loc"] == "https://a.com/n?q=a&b/c=d'e"
+    # &amp;#x2F; unescapes ONE level to &#x2F; (numeric refs run
+    # before the final &amp; pass, so the produced ref is preserved)
+    assert rows[(a, 4)]["loc"] == "https://a.com/one-level-&#x2F;kept"
     assert not rows[(a, 0)]["is_index"]
     b = "https://b.com/sitemap.xml"
     assert rows[(b, 0)]["is_index"] and rows[(b, 1)]["loc"] == "https://b.com/s2.xml"
@@ -240,4 +247,6 @@ def test_parse_sitemaps_entries_and_seed_urls(spark):
         "https://a.com/p?x=1&y=2",
         "https://a.com/q",
         "https://a.com/amp-&lt;kept",
+        "https://a.com/n?q=a&b/c=d'e",
+        "https://a.com/one-level-&#x2F;kept",
     }

@@ -1243,7 +1243,9 @@ def test_perplexity_buckets_tercile_split(spark):
     rows += [(i, "alpha beta rare%d " % i) for i in range(10, 20)]
     rows += [(i, "unique%d only%d here%d " % (i, i, i)) for i in range(20, 30)]
     df = spark.createDataFrame(rows, "id int, text string")
-    out = perplexity_buckets(df, "text", "id", n_buckets=3).collect()
+    out = perplexity_buckets(
+        df, "text", "id", n_buckets=3, sample_ppm=1_000_000
+    ).collect()
     by_bucket = {}
     for r in out:
         by_bucket.setdefault(r["bucket"], []).append(r)
@@ -1257,6 +1259,31 @@ def test_perplexity_buckets_tercile_split(spark):
 
     with _pytest.raises(ValueError):
         perplexity_buckets(df, "text", "id", n_buckets=1)
+
+
+def test_perplexity_buckets_sample_budget_fail_fast(spark):
+    """The sample bound is enforced, not trusted: a sample larger than
+    max_sample_rows raises at execution (assert_true inside the cuts
+    aggregation) instead of silently feeding an unbounded
+    single-partition rank window."""
+    import pytest as _pytest
+
+    from web_scraper_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta rare%d" % i) for i in range(30)],
+        "id int, text string",
+    )
+    out = perplexity_buckets(
+        df, "text", "id", sample_ppm=1_000_000, max_sample_rows=10
+    )
+    with _pytest.raises(Exception, match="max_sample_rows"):
+        out.collect()
+    # at or under the budget the same plan runs clean
+    ok = perplexity_buckets(
+        df, "text", "id", sample_ppm=1_000_000, max_sample_rows=30
+    )
+    assert ok.count() == 30
 
 
 def test_chunk_tokens_manual(spark):

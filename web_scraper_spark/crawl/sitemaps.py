@@ -33,14 +33,39 @@ _LOC_RE = r"(?s)<loc>\s*(.*?)\s*</loc>"
 _LASTMOD_RE = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
 
 
+#: bounded numeric-character-reference set (decimal + hex spellings,
+#: [xX] + hex-digit classes instead of (?i) for engine portability):
+#: the characters that actually appear escaped in real-world sitemap
+#: <loc> values. The &-producing refs sit LAST so their output can't
+#: feed an earlier pattern; general numeric refs outside this set are
+#: out of scope (documented gap — a full decoder needs a computed
+#: replacement, which regexp_replace cannot express).
+_NUMERIC_REFS = [
+    (r"&#(?:34|[xX]22);", '"'),
+    (r"&#(?:39|[xX]27);", "'"),
+    (r"&#(?:47|[xX]2[fF]);", "/"),
+    (r"&#(?:60|[xX]3[cC]);", "<"),
+    (r"&#(?:61|[xX]3[dD]);", "="),
+    (r"&#(?:62|[xX]3[eE]);", ">"),
+    (r"&#(?:38|[xX]26);", "&"),
+]
+
+
 def xml_unescape(col: Column) -> Column:
-    """Unescape the five predefined XML entities; ``&amp;`` LAST so
-    double-escaped text (``&amp;lt;``) resolves one level only, per
-    the XML spec."""
+    """Unescape the five predefined XML entities plus the common
+    numeric character references in :data:`_NUMERIC_REFS`; the
+    ``&``-producing forms (``&#38;``/``&#x26;``/``&amp;``) run LAST so
+    double-escaped text (``&amp;lt;``, ``&amp;#x2F;``) resolves one
+    level only, per the XML spec. Known edge (accepted): a numeric ref
+    that *spells* an entity (``&#38;amp;``) decodes two levels —
+    single-pass semantics would need a computed-replacement regex that
+    neither Spark nor the SQL oracle can express."""
     out = F.replace(col, F.lit("&lt;"), F.lit("<"))
     out = F.replace(out, F.lit("&gt;"), F.lit(">"))
     out = F.replace(out, F.lit("&quot;"), F.lit('"'))
     out = F.replace(out, F.lit("&apos;"), F.lit("'"))
+    for pat, rep in _NUMERIC_REFS:
+        out = F.regexp_replace(out, pat, rep)
     return F.replace(out, F.lit("&amp;"), F.lit("&"))
 
 

@@ -25,6 +25,7 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._materialize import materialize
 from .relational import first_seen_dedup
 
 _LOG = logging.getLogger(__name__)
@@ -171,7 +172,7 @@ def minhash_lsh_candidates(
         # rather than leaking cached partitions across repeated calls
         # in one session (round-2 advice). On a real cluster swap for
         # reliable checkpoint() if fault tolerance matters.
-        pairs = pairs.localCheckpoint()
+        pairs = materialize(pairs)
         banded.unpersist()
     return pairs
 
@@ -294,7 +295,7 @@ def jaccard_pairs(
     if candidates is None and max_doc_freq is not None:
         # materialize so the persisted postings can be released here
         # (same leak-avoidance pattern as minhash_lsh_candidates)
-        out = out.localCheckpoint()
+        out = materialize(out)
         inv.unpersist()
     return out
 
@@ -413,7 +414,7 @@ def duplicate_span_stats(
         .alias("dup_fraction"),
     )
     if persist:
-        out = out.localCheckpoint()
+        out = materialize(out)
         exploded.unpersist()
     return out
 
@@ -514,7 +515,7 @@ def duplicate_spans(
         .select("id", "span_start", "span_end", "n_windows")
     )
     if persist:
-        out = out.localCheckpoint()
+        out = materialize(out)
         exploded.unpersist()
     return out
 

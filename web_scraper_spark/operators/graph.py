@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._materialize import materialize
+
 #: rank unit: 1.0 == 1_000_000 micros
 _UNIT = 1_000_000
 
@@ -67,10 +69,14 @@ def integer_pagerank(
     — and returns a MATERIALIZED rank table so both caches release
     here (the duplicate_spans persist contract). At web scale this is
     mandatory; default off so tiny gate/test graphs skip the
-    materialization round-trip. Overflow headroom: ranks are ≤ (in-degree · 1e6)-ish micros —
-    int64 overflows only past ~9·10^12 total incoming mass, i.e.
-    never for damping < 100 on real graphs (total mass is bounded by
-    N·1e6 / (1 − damping)).
+    materialization round-trip. Overflow headroom: the damped update is
+    computed as ``(s div 100)·d + ((s mod 100)·d) div 100`` — exactly
+    equal to ``(d·s) div 100`` for s ≥ 0, but the largest intermediate
+    is ~0.85·s instead of 85·s, so the headroom is s itself nearing
+    int64 (~9.2·10^18 micros ≈ 9.2·10^12 rank units into ONE node)
+    rather than the naive form's ~1.08·10^17-micros ceiling — beyond
+    any real graph's hottest host even at 10^10 nodes (total system
+    mass is bounded by N·1e6 / (1 − damping) ≈ 6.7·10^16 micros).
 
     Returns (node, rank_micros).
     """
@@ -99,19 +105,23 @@ def integer_pagerank(
             F.expr("rank_micros div outdeg").alias("c"),
         )
         inc = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # deferred multiply: identical to (damping_pct * s) div 100 for
+        # s >= 0, but the largest intermediate is ~s, not 85*s (see
+        # docstring overflow note)
+        damp = (
+            f"(coalesce(s, 0L) div 100) * {damping_pct}"
+            f" + ((coalesce(s, 0L) % 100) * {damping_pct}) div 100"
+        )
         ranks = nodes.join(inc, "node", "left").select(
             "node",
-            (
-                F.lit(base).cast("long")
-                + F.expr(
-                    f"({damping_pct} * coalesce(s, 0L)) div 100"
-                ).cast("long")
-            ).alias("rank_micros"),
+            (F.lit(base).cast("long") + F.expr(damp).cast("long")).alias(
+                "rank_micros"
+            ),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     if persist:
-        ranks = ranks.localCheckpoint()
+        ranks = materialize(ranks)
         sends.unpersist()
         nodes.unpersist()
     return ranks

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._materialize import materialize
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -517,7 +519,7 @@ def bm25_topk(
         .select("query_id", "doc_id", "rank", "score_micros", "n_terms")
     )
     if persist:
-        out = out.localCheckpoint()
+        out = materialize(out)
         tf.unpersist()
         dl.unpersist()
     return out

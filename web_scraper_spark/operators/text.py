@@ -485,8 +485,9 @@ def perplexity_buckets(
     text_col: str,
     id_col: str,
     n_buckets: int = 3,
-    sample_ppm: int = 1_000_000,
+    sample_ppm: int = 100_000,
     salt: str = "ppl",
+    max_sample_rows: int = 2_000_000,
 ):
     """CCNet-style perplexity partitioning: split the corpus into
     head/middle/tail (or ``n_buckets`` generally) by LM surprisal —
@@ -505,6 +506,13 @@ def perplexity_buckets(
     ties break by id, so the split is exact and engine-portable
     (the oracle replays sample, ranks, and comparisons in SQL).
 
+    The sample bound is ENFORCED, not trusted: the cuts aggregation
+    carries an ``assert_true(m <= max_sample_rows)`` guard (zero extra
+    jobs — ``m`` is already computed there), so a misconfigured
+    ``sample_ppm`` on a huge corpus fails fast instead of silently
+    feeding an unbounded single-partition rank window — the same
+    budget idiom as crawl.frontier.probe_seen's byte guard.
+
     Returns (id, n_tokens, mean_deciban, bucket) with bucket in
     [1, n_buckets]; bucket 1 is the LOW-surprisal head."""
     from .relational import _ppm_bucket
@@ -521,7 +529,21 @@ def perplexity_buckets(
         F.row_number().over(w).alias("rn"),
         F.count("*").over(m_w).alias("m"),
     )
-    cut_aggs = []
+    cut_aggs = [
+        F.assert_true(
+            F.max("m") <= F.lit(max_sample_rows),
+            F.concat(
+                F.lit(
+                    "perplexity_buckets: deterministic sample has "
+                ),
+                F.max("m").cast("string"),
+                F.lit(
+                    f" rows > max_sample_rows={max_sample_rows}; lower"
+                    " sample_ppm or raise max_sample_rows explicitly"
+                ),
+            ),
+        ).alias("_guard")
+    ]
     for i in range(1, n_buckets):
         rank_i = F.ceil(F.col("m") / F.lit(float(n_buckets)) * i).cast("long")
         hit = F.col("rn") == rank_i
@@ -537,11 +559,15 @@ def perplexity_buckets(
             & (F.col("id") > F.col(f"c{i}id"))
         )
         bucket = bucket + F.when(above, 1).otherwise(0)
+    # referencing _guard (null when the assertion passes) keeps the
+    # assert_true from being pruned as an unused aggregate column;
+    # coalesce(null, 0) leaves bucket unchanged
+    guard_zero = F.coalesce(F.col("_guard").cast("int"), F.lit(0))
     return s.crossJoin(F.broadcast(cuts)).select(
         "id",
         "n_tokens",
         "mean_deciban",
-        bucket.cast("int").alias("bucket"),
+        (bucket + guard_zero).cast("int").alias("bucket"),
     )
 
 

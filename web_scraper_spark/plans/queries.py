@@ -2801,7 +2801,7 @@ def q89_keep_first_spans(spark, sf_dir):
           || '<url><loc>https://' || host || '.example.com/p/'
           || CAST(k AS VARCHAR) || '/1</loc><lastmod>2024-01-15</lastmod></url>'
           || '<url><loc>https://' || host || '.example.com/p/'
-          || CAST(k AS VARCHAR) || '/2?a=1&amp;b=2</loc></url>'
+          || CAST(k AS VARCHAR) || '/2?a=1&amp;b=2&#47;c&#x3D;d</loc></url>'
           || '<url>' || chr(10) || '<loc> https://' || host || '.example.com/p/'
           || CAST(k AS VARCHAR) || '/3 </loc></url>'
           || '</urlset>'
@@ -2826,8 +2826,19 @@ def q89_keep_first_spans(spark, sf_dir):
           AS lastmod
       FROM rows_)
     SELECT sitemap_url, pos,
-      replace(replace(replace(replace(replace(loc_raw,
-        '&lt;','<'), '&gt;','>'), '&quot;','"'), '&apos;', ''''), '&amp;','&')
+      replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(loc_raw,
+            '&lt;','<'), '&gt;','>'), '&quot;','"'), '&apos;', ''''),
+          '&#(?:34|[xX]22);', '"', 'g'),
+          '&#(?:39|[xX]27);', '''', 'g'),
+          '&#(?:47|[xX]2[fF]);', '/', 'g'),
+          '&#(?:60|[xX]3[cC]);', '<', 'g'),
+          '&#(?:61|[xX]3[dD]);', '=', 'g'),
+          '&#(?:62|[xX]3[eE]);', '>', 'g'),
+          '&#(?:38|[xX]26);', '&', 'g'),
+        '&amp;','&')
         AS loc,
       lastmod, is_index
     FROM ex
@@ -2863,7 +2874,7 @@ def q90_sitemap_parse(spark, sf_dir):
         F.lit("<url><loc>https://"), h, F.lit(".example.com/p/"),
         ks, F.lit("/1</loc><lastmod>2024-01-15</lastmod></url>"),
         F.lit("<url><loc>https://"), h, F.lit(".example.com/p/"),
-        ks, F.lit("/2?a=1&amp;b=2</loc></url>"),
+        ks, F.lit("/2?a=1&amp;b=2&#47;c&#x3D;d</loc></url>"),
         F.lit("<url>"), nl, F.lit("<loc> https://"), h, F.lit(".example.com/p/"),
         ks, F.lit("/3 </loc></url>"),
         F.lit("</urlset>"),
