@@ -250,3 +250,132 @@ def test_parse_sitemaps_entries_and_seed_urls(spark):
         "https://a.com/n?q=a&b/c=d'e",
         "https://a.com/one-level-&#x2F;kept",
     }
+
+
+def test_crawl_seeds_from_sitemaps(spark, tmp_path):
+    """run_crawl(seed_sitemaps=...) is the executed sitemap-driven
+    seeding path: leaf locs (never index locs) form the round-0
+    schedule, priority = entry position within its sitemap, and an
+    explicit seed_urls row wins over its sitemap duplicate."""
+    from web_scraper_spark.crawl.rounds import run_crawl as _run
+
+    leaf_urls = [url_for(r) for r in (2, 3, 4, 5, 6)]
+    body_a = (
+        "<urlset>"
+        + "".join(f"<url><loc>{u}</loc></url>" for u in leaf_urls[:3])
+        + "</urlset>"
+    )
+    body_b = (
+        "<urlset>"
+        + "".join(f"<url><loc>{u}</loc></url>" for u in leaf_urls[3:])
+        + "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://site1.example.com/b.xml"
+        "</loc></sitemap></sitemapindex>"
+    )
+    sm = spark.createDataFrame(
+        [
+            ("https://site0.example.com/a.xml", body_a),
+            ("https://site1.example.com/b.xml", body_b),
+            ("https://site1.example.com/index.xml", index),
+        ],
+        "sitemap_url string, body string",
+    )
+    ck = str(tmp_path / "smck")
+    pages = pages_df(spark, N_PAGES)
+    cfg = CrawlConfig(ckpt_dir=ck, quota_per_host=16, max_depth=0, n_shards=8)
+    stats = _run(
+        spark, cfg, pages, None, [leaf_urls[0]], n_rounds=1, seed_sitemaps=sm
+    )
+    assert stats[0]["scheduled"] == len(leaf_urls)
+    log = spark.read.parquet(os.path.join(ck, "round=0", "fetch_log"))
+    rows = [r.asDict() for r in log.collect()]
+    assert {r["url"] for r in rows} == set(leaf_urls)
+    by_url = {r["url"]: r for r in rows}
+    # explicit seed wins the duplicate: list semantics (priority=index,
+    # seq=index), not the sitemap's hash seq
+    assert by_url[leaf_urls[0]]["priority"] == 0.0
+    assert by_url[leaf_urls[0]]["seq"] == 0
+    # sitemap entries carry their in-sitemap position as priority
+    assert by_url[leaf_urls[1]]["priority"] == 1.0
+    assert by_url[leaf_urls[2]]["priority"] == 2.0
+    assert by_url[leaf_urls[3]]["priority"] == 0.0
+    assert by_url[leaf_urls[4]]["priority"] == 1.0
+    # index locs never entered the frontier
+    assert "https://site1.example.com/b.xml" not in by_url
+
+
+def test_crawl_authority_ordered_scheduling(spark, tmp_path):
+    """authority_every wiring: round 0 writes a host_rank table equal
+    to integer_pagerank over the round's discovered host edges, and
+    round 1's max_scheduled_per_round cap schedules high-rank hosts
+    first — while the eventual seen SET matches an authority-off crawl
+    (the cap defers, never drops)."""
+    from urllib.parse import urlparse
+
+    from web_scraper_spark.crawl.rounds import read_host_rank
+    from web_scraper_spark.operators.graph import integer_pagerank
+
+    pages = pages_df(spark, N_PAGES)
+    seeds = [url_for(r) for r in (0, 1, 2, 3, 4, 6, 8, 10)]
+    ck = str(tmp_path / "auth")
+    cfg = CrawlConfig(
+        ckpt_dir=ck, quota_per_host=16, max_depth=2, n_shards=8,
+        authority_every=1, max_scheduled_per_round=6,
+    )
+    run_crawl(spark, cfg, pages, None, seeds, n_rounds=2)
+
+    # 1. the stored rank table is integer_pagerank over exactly the
+    # round-0 extracted host edges
+    log0 = spark.read.parquet(os.path.join(ck, "round=0", "fetch_log"))
+    fetched0 = [
+        r["url"] for r in log0.filter(F.col("fetch_status") == "fetched").collect()
+    ]
+    links = corpus_links()
+    edges = sorted(
+        {
+            (urlparse(u).netloc, urlparse(l).netloc)
+            for u in fetched0
+            for l in links[u]
+            if urlparse(l).netloc and urlparse(l).netloc != urlparse(u).netloc
+        }
+    )
+    expected = {
+        r["node"]: r["rank_micros"]
+        for r in integer_pagerank(
+            spark.createDataFrame(edges, "src string, dst string"), iterations=2
+        ).collect()
+    }
+    stored = {
+        r["host"]: r["rank_micros"]
+        for r in read_host_rank(spark, cfg, 0).collect()
+    }
+    assert stored == expected
+
+    # 2. round 1 is authority-ordered: no unscheduled candidate host
+    # outranks a scheduled one
+    log1 = spark.read.parquet(os.path.join(ck, "round=1", "fetch_log"))
+    sched1 = {r["url"] for r in log1.collect()}
+    assert len(sched1) == 6
+    frontier0 = spark.read.parquet(os.path.join(ck, "round=0", "frontier"))
+    cand_hosts = {
+        r["host"]
+        for r in frontier0.filter(F.col("status") == "pending").collect()
+    }
+    sched_hosts = {urlparse(u).netloc for u in sched1}
+    rank0 = {h: stored.get(h, 0) for h in cand_hosts}
+    unsched = cand_hosts - sched_hosts
+    if unsched:
+        assert min(rank0[h] for h in sched_hosts) >= max(
+            rank0[h] for h in unsched
+        )
+
+    # 3. seen-set parity vs an authority-off crawl (cap defers only)
+    ck2 = str(tmp_path / "plain")
+    cfg2 = CrawlConfig(ckpt_dir=ck2, quota_per_host=16, max_depth=2, n_shards=8)
+    run_crawl(spark, cfg2, pages, None, seeds, n_rounds=20)
+    run_crawl(spark, cfg, pages, None, None, n_rounds=20, resume=True)
+    seen_auth = {r["url"] for r in _read_logs(spark, ck).collect()}
+    seen_plain = {r["url"] for r in _read_logs(spark, ck2).collect()}
+    assert seen_auth == seen_plain

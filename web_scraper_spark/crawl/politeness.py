@@ -83,6 +83,9 @@ def schedule_round(
     quota_per_host: int = 64,
     default_delay_ms: int = 1000,
     round_budget_ms: int | None = None,
+    host_rank: DataFrame | None = None,
+    max_scheduled_per_round: int | None = None,
+    n_salts: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Politeness scheduling for one crawl round.
 
@@ -94,9 +97,59 @@ def schedule_round(
     at which the fetch may start. Rows beyond the round budget are
     dropped from the schedule (they stay pending in the frontier and
     return next round).
+
+    **Authority-ordered global cap** (the north star's cross-host
+    priority queue): with ``max_scheduled_per_round`` set, the
+    post-quota candidate set (bounded by hosts × quota) is trimmed to
+    the global top-K ordered by ``(host_rank desc, priority, seq)`` —
+    ``host_rank`` is the integer-PageRank table ``run_round``
+    maintains from discovered-link host edges (operators/graph.py).
+    The trim is the same two-stage salted top-K as :func:`quota_trim`
+    (stage 2's single window sees at most ``n_salts × K`` rows, never
+    the frontier). Unranked hosts sort as rank 0. WITHIN a host the
+    order stays ``(priority, seq)`` — the cap changes which hosts'
+    rows enter the round, never the per-host fetch order, so the
+    reference-parity contract and the eventual seen SET are unchanged
+    (cut rows stay pending and return next round). The rank join is a
+    host-keyed equi-join; the rank table is host-level (small next to
+    the frontier), so Catalyst's size-based planning broadcasts it
+    when it fits and falls back to a shuffled join when it doesn't.
     """
     spark = candidates.sparkSession
     trimmed = quota_trim(candidates, quota_per_host)
+
+    if max_scheduled_per_round is not None:
+        if host_rank is not None:
+            trimmed = trimmed.join(
+                host_rank.select(
+                    "host", F.col("rank_micros").alias("_rank")
+                ),
+                "host",
+                "left",
+            ).withColumn("_rank", F.coalesce(F.col("_rank"), F.lit(0).cast("long")))
+        else:
+            trimmed = trimmed.withColumn("_rank", F.lit(0).cast("long"))
+        order = [
+            F.desc("_rank"),
+            F.asc_nulls_last("priority"),
+            F.asc_nulls_last("seq"),
+            F.asc("url"),  # seq is unique per space; url guards the seam
+        ]
+        salt = F.pmod(F.xxhash64("url", F.lit("cap")), F.lit(n_salts))
+        stage1 = (
+            trimmed.withColumn("_s", salt)
+            .withColumn(
+                "_r1",
+                F.row_number().over(Window.partitionBy("_s").orderBy(*order)),
+            )
+            .filter(F.col("_r1") <= max_scheduled_per_round)
+            .drop("_r1", "_s")
+        )
+        trimmed = (
+            stage1.withColumn("_r2", F.row_number().over(Window.orderBy(*order)))
+            .filter(F.col("_r2") <= max_scheduled_per_round)
+            .drop("_r2", "_rank")
+        )
 
     if host_state is None:
         host_state = spark.createDataFrame([], HOST_STATE_SCHEMA)

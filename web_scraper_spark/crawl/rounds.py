@@ -81,6 +81,18 @@ class CrawlConfig:
     # policy. Amortizes the O(total) compaction cost against growth
     # instead of a fixed clock.
     seen_compact_ratio: float | None = None
+    # host-authority frontier priority (north star's cross-host
+    # priority queue): every K rounds run integer PageRank over the
+    # accumulated discovered-link HOST graph (host-level — orders of
+    # magnitude smaller than the frontier) and order the next rounds'
+    # global schedule cap by the resulting rank. None = off (per-host
+    # quotas only, no cross-host preference).
+    authority_every: int | None = None
+    authority_iterations: int = 2
+    # global top-K rows per round across all hosts, selected by
+    # (host_rank desc, priority, seq) — the lever that makes authority
+    # bite. None = every host schedules up to its quota.
+    max_scheduled_per_round: int | None = None
 
 
 def _round_dir(cfg: CrawlConfig, round_id: int) -> str:
@@ -159,6 +171,42 @@ def read_seen(spark: SparkSession, cfg: CrawlConfig, upto_round: int) -> DataFra
     return spark.read.parquet(*dirs)
 
 
+def read_host_edges(
+    spark: SparkSession, cfg: CrawlConfig, upto_round: int
+) -> DataFrame | None:
+    """Union of per-round host-edge deltas up to ``upto_round`` —
+    authority rounds write the cumulative distinct set + an
+    ``_EDGES_COMPACT`` marker, so the walk stops there (same LSM shape
+    as :func:`read_seen`)."""
+    dirs = []
+    rid = upto_round
+    while rid >= 0:
+        d = os.path.join(_round_dir(cfg, rid), "host_edges")
+        if os.path.exists(os.path.join(_round_dir(cfg, rid), "_EDGES_COMPACT")):
+            dirs.append(d)
+            break
+        if os.path.isdir(d):
+            dirs.append(d)
+        rid -= 1
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def read_host_rank(
+    spark: SparkSession, cfg: CrawlConfig, upto_round: int
+) -> DataFrame | None:
+    """Latest committed (host, rank_micros) authority table at or
+    before ``upto_round``, or None before the first authority round."""
+    rid = upto_round
+    while rid >= 0:
+        d = os.path.join(_round_dir(cfg, rid), "host_rank")
+        if os.path.isdir(d):
+            return spark.read.parquet(d)
+        rid -= 1
+    return None
+
+
 def run_round(
     spark: SparkSession,
     cfg: CrawlConfig,
@@ -198,12 +246,19 @@ def run_round(
     sched_in = fresh.select(
         "url", "host", "depth", "priority", "seq", delay_col.alias("crawl_delay_ms")
     )
+    host_rank = (
+        read_host_rank(spark, cfg, round_id - 1)
+        if cfg.authority_every is not None
+        else None
+    )
     schedule, new_host_state = schedule_round(
         sched_in,
         host_state,
         quota_per_host=cfg.quota_per_host,
         default_delay_ms=cfg.default_delay_ms,
         round_budget_ms=cfg.round_budget_ms,
+        host_rank=host_rank,
+        max_scheduled_per_round=cfg.max_scheduled_per_round,
     )
     schedule = schedule.persist()
 
@@ -356,6 +411,45 @@ def run_round(
     next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(discovered)
     _write(next_frontier, os.path.join(rdir, "frontier"), cfg.state_write_partitions)
 
+    # -- host-authority state (optional; the cross-host priority queue)
+    # Per round: one distinct over HOST-level link edges (tiny next to
+    # the frontier). Every authority_every rounds: compact the edge
+    # deltas (LSM, _EDGES_COMPACT marker) and refresh the integer-
+    # PageRank table the NEXT rounds' schedule cap orders by. Rank is
+    # computed from the just-written compacted parquet so the distinct
+    # doesn't recompute once per PageRank iteration.
+    if cfg.authority_every is not None:
+        from ..operators.graph import integer_pagerank
+
+        delta_edges = (
+            extracted.select(F.col("host").alias("src"), F.explode("links").alias("l"))
+            .select("src", C.url_host(F.col("l")).alias("dst"))
+            .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+            .distinct()
+        )
+        edges_dir = os.path.join(rdir, "host_edges")
+        if round_id % cfg.authority_every == cfg.authority_every - 1:
+            prior = read_host_edges(spark, cfg, round_id - 1)
+            cum = (
+                delta_edges
+                if prior is None
+                else prior.unionByName(delta_edges).distinct()
+            )
+            _write(cum, edges_dir, cfg.state_write_partitions)
+            with open(os.path.join(rdir, "_EDGES_COMPACT"), "w") as fh:
+                fh.write("")
+            rank = integer_pagerank(
+                spark.read.parquet(edges_dir),
+                iterations=cfg.authority_iterations,
+            )
+            _write(
+                rank.select(F.col("node").alias("host"), "rank_micros"),
+                os.path.join(rdir, "host_rank"),
+                cfg.state_write_partitions,
+            )
+        else:
+            _write(delta_edges, edges_dir, cfg.state_write_partitions)
+
     n_sched = schedule.count()
     n_ok = extracted.count()
     n_failed = n_sched - n_ok  # left join preserves every scheduled row
@@ -381,11 +475,38 @@ def run_round(
 
 
 def init_crawl(
-    spark: SparkSession, cfg: CrawlConfig, seed_urls: list[str]
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    seed_urls: list[str] | None = None,
+    seed_sitemaps: DataFrame | None = None,
 ) -> None:
-    """Write the round=-0 bootstrap state (frontier only)."""
+    """Write the round=-0 bootstrap state (frontier only).
+
+    ``seed_sitemaps`` is a (sitemap_url, body) table of FETCHED
+    sitemap XML — the north star's sitemap-driven seeding path: bodies
+    are parsed with the pure-Column regex parser (crawl/sitemaps.py)
+    and leaf entries become frontier rows via
+    ``frontier_from_sitemaps`` (priority = sitemap entry position,
+    seq = xxhash64(url)). Include child sitemaps of any
+    ``<sitemapindex>`` in the table — nested expansion happens through
+    the fetch loop, not here. When both seed forms are given, explicit
+    ``seed_urls`` win on duplicate URLs (they carry the caller's
+    stated order)."""
+    if seed_urls is None and seed_sitemaps is None:
+        raise ValueError("init_crawl needs seed_urls and/or seed_sitemaps")
+    frontier = seeds_to_frontier(spark, seed_urls) if seed_urls else None
+    if seed_sitemaps is not None:
+        from .sitemaps import frontier_from_sitemaps, parse_sitemaps
+
+        sm = frontier_from_sitemaps(parse_sitemaps(seed_sitemaps))
+        if frontier is None:
+            frontier = sm
+        else:
+            frontier = frontier.unionByName(
+                sm.join(frontier.select("url"), "url", "left_anti")
+            )
     rdir = _round_dir(cfg, -1)
-    _write(seeds_to_frontier(spark, seed_urls), os.path.join(rdir, "frontier"))
+    _write(frontier, os.path.join(rdir, "frontier"))
     with open(os.path.join(rdir, "_COMMIT"), "w") as fh:
         json.dump({"round_id": -1, "bootstrap": True}, fh)
 
@@ -398,8 +519,14 @@ def run_crawl(
     seed_urls: list[str] | None,
     n_rounds: int,
     resume: bool = False,
+    seed_sitemaps: DataFrame | None = None,
 ) -> list[dict]:
     """Run (or resume) a crawl for up to ``n_rounds`` rounds.
+
+    Fresh crawls seed from ``seed_urls`` (an ordered list, the
+    reference's S1 source), ``seed_sitemaps`` (a (sitemap_url, body)
+    table of fetched sitemap XML — the north star's sitemap-driven
+    path; see :func:`init_crawl`), or both.
 
     Resume reads the last committed round and continues — a crashed
     round (no _COMMIT) is replayed identically (all inputs are the
@@ -411,9 +538,11 @@ def run_crawl(
             raise RuntimeError("nothing to resume")
         start = last + 1
     else:
-        if seed_urls is None:
-            raise ValueError("seed_urls required for a fresh crawl")
-        init_crawl(spark, cfg, seed_urls)
+        if seed_urls is None and seed_sitemaps is None:
+            raise ValueError(
+                "seed_urls and/or seed_sitemaps required for a fresh crawl"
+            )
+        init_crawl(spark, cfg, seed_urls, seed_sitemaps=seed_sitemaps)
         start = 0
     stats = []
     for rid in range(start, start + n_rounds):

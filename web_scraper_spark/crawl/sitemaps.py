@@ -117,3 +117,43 @@ def seed_urls_from_sitemaps(parsed: DataFrame) -> DataFrame:
         .select(F.col("loc").alias("url"))
         .distinct()
     )
+
+
+def frontier_from_sitemaps(parsed: DataFrame, round_id: int = 0) -> DataFrame:
+    """Round-0 frontier rows (FRONTIER_SCHEMA) from
+    :func:`parse_sitemaps` output — the sitemap-driven analog of
+    ``seeds_to_frontier`` and the executed seeding path of
+    ``crawl.rounds.init_crawl(seed_sitemaps=...)``.
+
+    Ordering contract (pure functions of the data — no global sort, so
+    seeding 10^10 entries is one groupBy exchange on the url key):
+
+    - ``priority`` = the minimum ``pos`` across the url's occurrences
+      (the sitemap author's stated order; entries early in ANY sitemap
+      schedule first, interleaved across sitemaps);
+    - ``seq`` = ``xxhash64(url)`` — the same stable unique tie-break
+      discovered links get in ``run_round``.
+
+    Leaf entries only: ``is_index`` locs are MORE sitemaps — fetch
+    them and include their bodies in the input table instead (one
+    hop of nesting per fetch round; :func:`parse_sitemaps` parses
+    every body it is given, so a table containing both the index and
+    its children seeds from the children's entries).
+    """
+    from ..functions import columns as C
+    from .frontier import FRONTIER_SCHEMA
+
+    first = (
+        parsed.filter(~F.col("is_index"))
+        .groupBy(F.col("loc").alias("url"))
+        .agg(F.min("pos").alias("p"))
+    )
+    return first.select(
+        "url",
+        C.url_host(F.col("url")).alias("host"),
+        F.lit(0).cast("int").alias("depth"),
+        F.col("p").cast("double").alias("priority"),
+        F.xxhash64("url").alias("seq"),
+        F.lit(round_id).cast("int").alias("round_id"),
+        F.lit("pending").alias("status"),
+    ).select([f.name for f in FRONTIER_SCHEMA.fields])
