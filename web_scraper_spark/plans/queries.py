@@ -2776,6 +2776,90 @@ def q89_keep_first_spans(spark, sf_dir):
 
 
 # =====================================================================
+# ExactSubstr END-TO-END under keep-first: q89 elects keepers and
+# locates spans, q80's cutter applies them — the canonical Lee et al.
+# 2022 pipeline (every duplicated substring survives in exactly one
+# place) oracled as ONE path.
+# =====================================================================
+@query(
+    "q91_keep_first_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text,'\\s+',' ','g'))),' ') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    wins AS (
+      SELECT doc_id,
+             unnest(range(greatest(n - 7, 0))) AS pos,
+             unnest(list_transform(range(greatest(n - 7, 0)),
+                    i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS h
+      FROM base),
+    shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    flg AS (SELECT doc_id, pos, h FROM wins WHERE h IN (SELECT h FROM shared)),
+    k1 AS (SELECT h, min(doc_id) AS kid FROM flg GROUP BY h),
+    k2 AS (SELECT f.h, k1.kid, min(f.pos) AS kpos
+           FROM flg f JOIN k1 ON f.h = k1.h AND f.doc_id = k1.kid
+           GROUP BY f.h, k1.kid),
+    cut AS (SELECT f.doc_id, f.pos FROM flg f JOIN k2 ON f.h = k2.h
+            WHERE NOT (f.doc_id = k2.kid AND f.pos = k2.kpos)),
+    lagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM cut),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS s1
+      FROM grp GROUP BY doc_id, g),
+    tokpos AS (
+      SELECT doc_id, unnest(range(n)) AS pos, unnest(t) AS tok FROM base),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s0 AND s.s1)),
+    reb AS (
+      SELECT doc_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(r.clean_md5, md5('')) AS clean_md5,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id
+    """,
+)
+def q91_keep_first_pipeline(spark, sf_dir):
+    """ExactSubstr end-to-end, keep-first policy (Lee et al. 2022):
+    duplicate_spans elects per-digest keepers (min (id, pos)) and
+    merges the non-keeper occurrences into intervals;
+    remove_duplicate_spans cuts them — so each duplicated substring
+    survives in EXACTLY one document. Same plan shape as q80 plus the
+    keeper groupBy+join on the digest key the shared-set aggregate
+    already shuffled on. The oracle replays keeper election, span
+    merge, and the NOT-EXISTS range cut in SQL."""
+    d = _load(spark, sf_dir, "documents")
+    spans = D.duplicate_spans(
+        d, "text", "doc_id", window=8, min_docs=2, persist=True,
+        policy="keep_first",
+    )
+    out = D.remove_duplicate_spans(d, spans, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+    )
+
+
+# =====================================================================
 # Sitemap parsing (the north star's seeding path): deterministic
 # sitemap XML synthesized per host, parsed with the pure-Column
 # regex parser — urlset leaves, index files, entity unescaping,
