@@ -301,12 +301,21 @@ def run_round(
     ).persist()
 
     rdir = _round_dir(cfg, round_id)
+    # Round counters ride the write actions via df.observe() — the
+    # fetch join is 1:1 (pages.url unique, left join), so the
+    # fetch_log write counts the schedule, the results write counts
+    # extraction, and the frontier write counts next-round pendings.
+    # Zero dedicated count jobs per round (three jobs saved).
+    from pyspark.sql import Observation
+
+    obs_sched = Observation("n_sched")
+    obs_ok = Observation("n_ok")
     # fetch_log: the politeness-ordered fetch ledger for the round —
     # the parity surface (per-host order) and the lineage record.
     fetch_log = fetched.select(
         "url", "host", "depth", "seq", "priority", "scheduled_offset_ms",
         "fetch_status", F.lit(round_id).alias("round_id"),
-    )
+    ).observe(obs_sched, F.count(F.lit(1)).alias("n"))
     _write(fetch_log, os.path.join(rdir, "fetch_log"), cfg.state_write_partitions)
 
     # -- results + metrics ---------------------------------------------
@@ -314,7 +323,7 @@ def run_round(
         "url", "host", "depth", "seq", "scheduled_offset_ms",
         *products,
         F.lit(round_id).alias("round_id"),
-    )
+    ).observe(obs_ok, F.count(F.lit(1)).alias("n"))
     _write(results, os.path.join(rdir, "results"))
 
     # per-partition lineage + counters (S14/metrics table): which input
@@ -409,6 +418,11 @@ def run_round(
         .join(deferred.select("url"), "url", "left_anti")
     )
     next_frontier = deferred.select([f.name for f in FRONTIER_SCHEMA.fields]).unionByName(discovered)
+    obs_next = Observation("n_next") if cfg.collect_frontier_count else None
+    if obs_next is not None:
+        next_frontier = next_frontier.observe(
+            obs_next, F.count(F.lit(1)).alias("n")
+        )
     _write(next_frontier, os.path.join(rdir, "frontier"), cfg.state_write_partitions)
 
     # -- host-authority state (optional; the cross-host priority queue)
@@ -450,10 +464,10 @@ def run_round(
         else:
             _write(delta_edges, edges_dir, cfg.state_write_partitions)
 
-    n_sched = schedule.count()
-    n_ok = extracted.count()
+    n_sched = int(obs_sched.get["n"])
+    n_ok = int(obs_ok.get["n"])
     n_failed = n_sched - n_ok  # left join preserves every scheduled row
-    n_next = next_frontier.count() if cfg.collect_frontier_count else -1
+    n_next = int(obs_next.get["n"]) if obs_next is not None else -1
     schedule.unpersist()
     fetched.unpersist()
     extracted.unpersist()
