@@ -934,56 +934,80 @@ def remove_duplicate_spans(
     Coordinates are the NORMALIZED token positions duplicate_spans
     emits (0-based, span_end inclusive, over normalize_text tokens),
     so the returned ``clean_text`` is normalized tokens re-joined
-    with single spaces. Scale shape: tokens explode once, one
-    LEFT-ANTI range join against the (small, per-doc) span set on the
-    doc id, one groupBy(id) to reassemble — shuffles only on the doc
-    id, order restored via array_sort on (pos, token) structs (never
-    collect_list order). Docs with every token covered return
+    with single spaces. Scale shape — ONE corpus scan: the caller's
+    span set is first merged per doc into disjoint intervals (a
+    window over the spans table only — spans ≪ corpus), then tokens
+    explode once, a single LEFT range join on the doc id marks
+    coverage (the merge guarantees at most one span matches a token,
+    so the join can never duplicate token rows even on overlapping
+    input spans), and ONE groupBy(id) folds total count, removed
+    count, and the surviving text together. The token stream crosses
+    at most one exchange (join and groupBy share the id key; with a
+    broadcast span side, only the groupBy exchanges) — vs the naive
+    two corpus scans (tokens + a separate totals pass) and a final
+    join. Order is restored via array_sort on (pos, token) structs
+    (never collect_list order). Docs with every token covered return
     ``clean_text = ''``; docs with no spans pass through normalized.
 
     Returns (id, clean_text, n_tokens_kept, n_tokens_removed).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
-        ),
-    )
     sp = spans.select(
         F.col("id").alias("s_id"),
         F.col("span_start").alias("s0"),
         F.col("span_end").alias("s1"),
     )
-    kept = toks.join(
+    w_sp = Window.partitionBy("s_id").orderBy("s0", "s1")
+    prev_end = F.max("s1").over(w_sp.rowsBetween(Window.unboundedPreceding, -1))
+    sp = (
+        sp.withColumn(
+            "_brk", F.coalesce((F.col("s0") > prev_end).cast("int"), F.lit(1))
+        )
+        .withColumn(
+            "_g",
+            F.sum("_brk").over(
+                w_sp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("s_id", "_g")
+        .agg(F.min("s0").alias("s0"), F.max("s1").alias("s1"))
+        .select("s_id", "s0", "s1")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    marked = toks.join(
         sp,
         (F.col("id") == F.col("s_id"))
         & (F.col("pos") >= F.col("s0"))
         & (F.col("pos") <= F.col("s1")),
-        "left_anti",
+        "left",
     )
-    totals = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long").alias("_n"),
-    )
-    rebuilt = kept.groupBy("id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
-        F.count("*").cast("long").alias("n_tokens_kept"),
+    kept_struct = F.when(
+        F.col("s_id").isNull() & F.col("pos").isNotNull(), F.struct("pos", "tok")
     )
     return (
-        totals.join(rebuilt, "id", "left")
+        marked.groupBy("id")
+        .agg(
+            F.count("pos").cast("long").alias("_n"),
+            F.count("s_id").cast("long").alias("n_tokens_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+        )
         .select(
             "id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_tokens_kept"), F.lit(0)).alias("n_tokens_kept"),
-            (F.col("_n") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+            "clean_text",
+            (F.col("_n") - F.col("n_tokens_removed"))
             .cast("long")
-            .alias("n_tokens_removed"),
+            .alias("n_tokens_kept"),
+            "n_tokens_removed",
         )
     )
 
