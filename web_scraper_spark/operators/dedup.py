@@ -480,18 +480,19 @@ def duplicate_spans(
     )
     flagged = exploded.join(shared.select("h"), "h", "left_semi")
     if policy == "keep_first":
-        keeper = flagged.groupBy("h").agg(
-            F.min(F.struct("id", "pos")).alias("k")
-        )
+        # keeper = min (id, pos) per digest, as an unordered window
+        # aggregate over the h-partitioning the semi-join already
+        # produced — one pass, no separate groupBy + join-back
+        k = F.min(F.struct("id", "pos")).over(Window.partitionBy("h"))
         flagged = (
-            flagged.join(keeper, "h")
+            flagged.withColumn("_k", k)
             .filter(
                 ~(
-                    (F.col("id") == F.col("k.id"))
-                    & (F.col("pos") == F.col("k.pos"))
+                    (F.col("id") == F.col("_k.id"))
+                    & (F.col("pos") == F.col("_k.pos"))
                 )
             )
-            .drop("k")
+            .drop("_k")
         )
     w_ord = Window.partitionBy("id").orderBy("pos")
     # break when the previous window's last token (lag+W-1) leaves a
