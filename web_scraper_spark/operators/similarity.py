@@ -436,19 +436,24 @@ def bm25_topk(
     the unique (score desc, doc_id asc) tie-break.
 
     Scale shape: the inverted index is one explode + one
-    (doc, term) groupBy; document frequency is one (term) groupBy.
-    ``max_df_frac`` drops terms appearing in more than that fraction
-    of documents — the stopword/hot-posting-list cap that bounds the
-    worst key in the term join (a term in half the corpus is pure
-    skew and carries ~no BM25 signal anyway; drops are by the same
-    df-cap rule on both engines). The query-term side is broadcast
-    (queries ≪ corpus); the posting join shuffles on the term key
-    only. Per-query top-k is one window over query_id — fine while
-    queries fit a partition each; at huge query batches swap the
-    window for groupBy + slice(sort_array(...)).
+    (doc, term) groupBy — the document length rides the explode as a
+    carried column, so there is NO doc-keyed length join-back;
+    document frequency is one (term) groupBy. The query-term
+    restriction is applied FIRST (queries ≪ corpus, broadcast), so
+    per-term statistics join the index as a second broadcast: after
+    the two index-build exchanges (doc+term groupBy, term groupBy),
+    scoring itself shuffles nothing but the per-(query, doc) partial
+    sums. ``max_df_frac`` drops terms appearing in more than that
+    fraction of documents — the stopword/hot-posting-list cap that
+    bounds the worst key in the broadcast term probe (a term in half
+    the corpus is pure skew and carries ~no BM25 signal anyway;
+    drops are by the same df-cap rule on both engines). Per-query
+    top-k is one window over query_id — fine while queries fit a
+    partition each; at huge query batches swap the window for
+    groupBy + slice(sort_array(...)).
 
-    ``persist=True`` caches the (doc, term, tf) index between its two
-    consumers (posting build and document frequency) — without it the
+    ``persist=True`` caches the (doc, term, tf, dl) index between its
+    two consumers (document frequency and scoring) — without it the
     tokenize+explode subtree runs once per consumer (no
     ReusedExchange: the subtrees differ past the aggregate). The
     returned DataFrame is then materialized (localCheckpoint) so the
@@ -464,33 +469,37 @@ def bm25_topk(
         F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " "
     )
     base = docs.select(F.col(id_col).alias("doc_id"), tok(F.col(text_col)).alias("t"))
-    dl = base.select("doc_id", F.size("t").cast("long").alias("dl"))
     tf = (
-        base.select("doc_id", F.explode("t").alias("term"))
+        base.select(
+            "doc_id",
+            F.size("t").cast("long").alias("dl"),
+            F.explode("t").alias("term"),
+        )
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
     )
     if persist:
-        dl = dl.persist()
         tf = tf.persist()
-    stats = dl.agg(
+    stats = base.select(F.size("t").cast("long").alias("dl")).agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    posting = (
-        tf.join(dl, "doc_id")
-        .join(dfreq, "term")
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(tok(F.col(q_text_col))).alias("term"),
+    ).distinct()
+    # per-term stats restricted to query terms (tiny), df cap applied
+    # here — non-query terms never score, so the cap's reach is
+    # unchanged — then broadcast onto the index
+    term_stats = (
+        dfreq.join(F.broadcast(qterms.select("term").distinct()), "term")
         .crossJoin(F.broadcast(stats))
         .filter(
             F.col("df")
             <= F.floor(F.lit(max_df_frac) * F.col("n")).cast("long")
         )
     )
-    qterms = queries.select(
-        F.col(qid_col).alias("query_id"),
-        F.explode(tok(F.col(q_text_col))).alias("term"),
-    ).distinct()
     idf = F.log(
         (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )
@@ -499,7 +508,8 @@ def bm25_topk(
     )
     scored = (
         F.broadcast(qterms)
-        .join(posting, "term")
+        .join(tf, "term")
+        .join(F.broadcast(term_stats), "term")
         .select(
             "query_id",
             "doc_id",
@@ -521,5 +531,4 @@ def bm25_topk(
     if persist:
         out = materialize(out)
         tf.unpersist()
-        dl.unpersist()
     return out
