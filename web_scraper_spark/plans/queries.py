@@ -719,8 +719,14 @@ def q27_cosine_topk(spark, sf_dir):
     """,
 )
 def q28_embed_near_dup(spark, sf_dir):
+    """Per-bucket BLAS path (method='arrow', as q69): cosine is
+    round(,6)-quantized before the hash gate, which absorbs BLAS-vs-
+    sequential summation order on this fixture (twin-verified)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.35, bucket_col="label")
+    return D.embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.35, bucket_col="label",
+        method="arrow",
+    )
 
 
 # =====================================================================
@@ -996,7 +1002,8 @@ def q62_lsh_embed_near_dup(spark, sf_dir):
         "bucket", S.hyperplane_lsh_bucket(F.col("embedding"), _HP_PLANES)
     )
     return D.embedding_near_dups(
-        bucketed, "embedding", "vec_id", threshold=0.35, bucket_col="bucket"
+        bucketed, "embedding", "vec_id", threshold=0.35, bucket_col="bucket",
+        method="arrow",
     )
 
 
