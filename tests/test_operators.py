@@ -390,6 +390,28 @@ def test_remove_duplicate_spans_cuts_located_intervals(spark):
     assert out[4]["n_tokens_removed"] == 0
 
 
+def test_remove_duplicate_spans_overlapping_input_spans(spark):
+    """The cutter's defensive per-doc interval merge: overlapping and
+    touching caller spans cover each token once — counts and
+    surviving text are identical to the equivalent disjoint span set
+    (the single-pass left join must never duplicate a token row)."""
+    from web_scraper_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "id int, text string"
+    )
+    spans = spark.createDataFrame(
+        # [1,4] and [3,6] overlap; [7,7] and [8,8] touch; union covers
+        # tokens 1-8, leaving t0 and t9
+        [(1, 1, 4), (1, 3, 6), (1, 7, 7), (1, 8, 8)],
+        "id int, span_start long, span_end long",
+    )
+    row = remove_duplicate_spans(df, spans, "text", "id").collect()[0]
+    assert row["clean_text"] == "t0 t9"
+    assert row["n_tokens_kept"] == 2
+    assert row["n_tokens_removed"] == 8
+
+
 def test_duplicate_spans_sampled_conservative_and_detects_long_dups(spark):
     """Content-defined digest sampling (sample_mod>1): every sampled
     span must be contained in an exact-mode span of the same doc
