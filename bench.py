@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "q81_hash_split", "q82_token_budget", "q83_bm25_topk",
     "q84_bigram_surprisal", "q85_host_authority", "q86_quality_model",
     "q87_perplexity_buckets", "q88_chunk_tokens", "q89_keep_first_spans",
-    "q90_sitemap_parse", "q91_keep_first_pipeline",
+    "q90_sitemap_parse", "q91_keep_first_pipeline", "q92_robots_sitemaps",
 ]
 
 

@@ -306,6 +306,89 @@ def test_crawl_seeds_from_sitemaps(spark, tmp_path):
     assert "https://site1.example.com/b.xml" not in by_url
 
 
+def test_robots_sitemaps_extraction(spark):
+    """Sitemap: directives are group-independent (RFC 9309): extracted
+    regardless of the surrounding user-agent block, case-insensitive,
+    comment-stripped, whitespace-trimmed; empty directives drop; the
+    URL keeps everything after the FIRST colon."""
+    from web_scraper_spark.crawl.robots import robots_sitemaps
+
+    body = (
+        "# header\n"
+        "Sitemap: https://a.com/top.xml\n"
+        "User-agent: googlebot\n"
+        "Disallow: /g\n"
+        "sitemap: https://a.com/inside-foreign-group.xml   \n"
+        "User-agent: *\n"
+        "SITEMAP: https://a.com/caps.xml # mirror\n"
+        "Sitemap:\n"
+        "Sitemap-ish: https://a.com/not-a-directive.xml"
+    )
+    df = spark.createDataFrame([("a.com", body)], "host string, robots_txt string")
+    rows = {r["pos"]: r["sitemap_url"] for r in robots_sitemaps(df).collect()}
+    assert rows == {
+        1: "https://a.com/top.xml",
+        4: "https://a.com/inside-foreign-group.xml",
+        6: "https://a.com/caps.xml",
+    }
+
+
+def test_sitemap_seeds_from_robots_composition(spark):
+    """robots → Sitemap: URLs → fetch-join pages → parsed seeds: the
+    end-to-end discovery path. Directive URLs absent from the corpus
+    don't seed; non-sitemap pages never enter; bodies decode from the
+    corpus's binary html column."""
+    import datetime as _dt
+
+    from web_scraper_spark.crawl.sitemaps import (
+        parse_sitemaps,
+        seed_urls_from_sitemaps,
+        sitemap_seeds_from_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "site0.example.com",
+                "User-agent: *\nDisallow: /x\n"
+                "Sitemap: https://site0.example.com/sm.xml\n"
+                "sitemap: https://site0.example.com/missing.xml",
+            ),
+            (
+                "site1.example.com",
+                "SITEMAP: https://site1.example.com/sm.xml # main\nSitemap:",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    xml0 = "<urlset><url><loc>https://site0.example.com/p1</loc></url></urlset>"
+    xml1 = (
+        "<urlset><url><loc>https://site1.example.com/p1</loc></url>"
+        "<url><loc>https://site1.example.com/p2</loc></url></urlset>"
+    )
+    ts = _dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://site0.example.com/sm.xml", ts, xml0.encode("utf-8")),
+            ("https://site1.example.com/sm.xml", ts, xml1.encode("utf-8")),
+            ("https://site1.example.com/other", ts, b"<html></html>"),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    sm = sitemap_seeds_from_robots(robots, pages)
+    got = {(r["sitemap_url"], r["body"]) for r in sm.collect()}
+    assert got == {
+        ("https://site0.example.com/sm.xml", xml0),
+        ("https://site1.example.com/sm.xml", xml1),
+    }
+    seeds = {r["url"] for r in seed_urls_from_sitemaps(parse_sitemaps(sm)).collect()}
+    assert seeds == {
+        "https://site0.example.com/p1",
+        "https://site1.example.com/p1",
+        "https://site1.example.com/p2",
+    }
+
+
 def test_crawl_authority_ordered_scheduling(spark, tmp_path):
     """authority_every wiring: round 0 writes a host_rank table equal
     to integer_pagerank over the round's discovered host edges, and

@@ -103,6 +103,47 @@ def parse_robots(
     )
 
 
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives from raw robots.txt bodies →
+    (host, sitemap_url, pos) — the discovery half of a sitemap-driven
+    crawl (robots tells you WHERE the sitemaps are; crawl/sitemaps.py
+    parses what you fetch from there).
+
+    Per sitemaps.org and RFC 9309 §2.3 the directive is
+    GROUP-INDEPENDENT — valid anywhere in the file, regardless of
+    user-agent blocks — so extraction is a straight line filter: one
+    explode + one filter, no block windows, NO shuffle at all (pure
+    narrow plan; contrast :func:`parse_robots`'s per-host windows).
+    The URL is everything after the FIRST colon (the value itself
+    contains '://'). Comments strip at '#' under the same line-global
+    rule as rule lines, so a fragment-bearing sitemap URL loses its
+    fragment — documented and mirrored by the q92 oracle. ``pos`` is
+    the 0-based line number (document order); callers dedupe/order as
+    needed.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n", -1)).alias("pos", "raw"),
+    ).withColumn(
+        "line", F.trim(F.element_at(F.split(F.col("raw"), "#", 2), 1))
+    )
+    return (
+        lines.filter(F.lower(F.col("line")).startswith("sitemap:"))
+        .select(
+            "host",
+            F.trim(
+                F.try_element_at(F.split(F.col("line"), ":", 2), F.lit(2))
+            ).alias("sitemap_url"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .filter(F.col("sitemap_url").isNotNull() & (F.col("sitemap_url") != ""))
+    )
+
+
 def robots_allowed(path, disallow, allow):
     """RFC 9309 longest-match precedence as a pure Column expression:
     among all PREFIX-matching rules the longest pattern wins, and an

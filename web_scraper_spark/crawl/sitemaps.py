@@ -157,3 +157,40 @@ def frontier_from_sitemaps(parsed: DataFrame, round_id: int = 0) -> DataFrame:
         F.lit(round_id).cast("int").alias("round_id"),
         F.lit("pending").alias("status"),
     ).select([f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def sitemap_seeds_from_robots(
+    robots_raw: DataFrame,
+    pages: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """End-to-end sitemap DISCOVERY: raw robots.txt bodies →
+    ``Sitemap:`` directive URLs → fetch-join against the pages corpus
+    → the (sitemap_url, body) table ``run_crawl(seed_sitemaps=...)``
+    expects. Closes the north star's loop (robots names the sitemaps,
+    the corpus fetch supplies their XML, the pure-Column parser seeds
+    the frontier) with zero Python.
+
+    Scale shape: the directive extraction is shuffle-free
+    (:func:`crawl.robots.robots_sitemaps`); the distinct directive
+    set is tiny (≈ sitemaps per host) and joins the corpus on the url
+    key — Spark broadcasts it, so the corpus never shuffles. Sitemap
+    URLs absent from the corpus simply don't seed (inner fetch join);
+    bodies decode as UTF-8 with replacement, mirroring the extraction
+    pipeline's decode rule.
+    """
+    from .robots import robots_sitemaps
+
+    urls = (
+        robots_sitemaps(robots_raw, host_col, body_col)
+        .select("sitemap_url")
+        .distinct()
+    )
+    return urls.join(
+        pages.select(
+            F.col("url").alias("sitemap_url"),
+            F.decode(F.col("html"), "UTF-8").alias("body"),
+        ),
+        "sitemap_url",
+    )

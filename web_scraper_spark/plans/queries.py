@@ -2977,3 +2977,89 @@ def q90_sitemap_parse(spark, sf_dir):
         F.when(F.col("k") % 4 == 0, index_body).otherwise(urlset_body).alias("body"),
     )
     return parse_sitemaps(src)
+
+
+# =====================================================================
+# Sitemap discovery via robots.txt (the directive half of the
+# sitemap-driven frontier): Sitemap: lines are group-independent
+# (RFC 9309 / sitemaps.org), so extraction is a shuffle-free line
+# filter over the raw bodies.
+# =====================================================================
+@query(
+    "q92_robots_sitemaps",
+    oracle="""
+    WITH hosts AS (
+      SELECT DISTINCT source AS host, CAST(substr(source, 4) AS INT) AS k
+      FROM documents),
+    bodies AS (
+      SELECT host, array_to_string([
+        '# robots for ' || host,
+        'User-agent: *',
+        'Disallow: /private',
+        'Sitemap: https://' || host || '.example.com/sitemap.xml',
+        CASE WHEN k % 2 = 0
+             THEN 'sitemap: https://' || host || '.example.com/news-'
+                  || CAST(k AS VARCHAR) || '.xml   '
+             ELSE 'SITEMAP: https://' || host || '.example.com/caps-'
+                  || CAST(k AS VARCHAR) || '.xml' END,
+        'User-agent: googlebot',
+        'Sitemap: https://cdn.example.com/shared-'
+          || CAST(k % 3 AS VARCHAR) || '.xml # mirror',
+        'Sitemap:'
+      ], chr(10)) AS body
+      FROM hosts),
+    lines AS (
+      SELECT host, unnest(range(len(string_split(body, chr(10))))) AS pos,
+             trim(string_split(unnest(string_split(body, chr(10))), '#')[1]) AS line
+      FROM bodies)
+    SELECT host,
+           trim(substr(line, strpos(line, ':') + 1)) AS sitemap_url,
+           CAST(pos AS BIGINT) AS pos
+    FROM lines
+    WHERE lower(line) LIKE 'sitemap:%'
+      AND trim(substr(line, strpos(line, ':') + 1)) <> ''
+    """,
+)
+def q92_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive extraction from deterministic robots bodies
+    (mixed-case directives, trailing whitespace, a directive inside a
+    foreign user-agent group — still valid, group-independence — a
+    trailing-comment URL, and an empty directive that must drop).
+    crawl.robots.robots_sitemaps is a shuffle-free line filter; the
+    oracle replays the same comment-strip + first-colon split."""
+    from ..crawl.robots import robots_sitemaps
+
+    d = _load(spark, sf_dir, "documents")
+    h = F.col("host")
+    ks = F.col("k").cast("string")
+    hosts = d.select(
+        F.col("source").alias("host"),
+        F.substring("source", 4, 10).cast("int").alias("k"),
+    ).distinct()
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for "), h),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.concat(F.lit("Sitemap: https://"), h, F.lit(".example.com/sitemap.xml")),
+        F.when(
+            F.col("k") % 2 == 0,
+            F.concat(
+                F.lit("sitemap: https://"), h, F.lit(".example.com/news-"),
+                ks, F.lit(".xml   "),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("SITEMAP: https://"), h, F.lit(".example.com/caps-"),
+                ks, F.lit(".xml"),
+            )
+        ),
+        F.lit("User-agent: googlebot"),
+        F.concat(
+            F.lit("Sitemap: https://cdn.example.com/shared-"),
+            (F.col("k") % 3).cast("string"), F.lit(".xml # mirror"),
+        ),
+        F.lit("Sitemap:"),
+    )
+    src = hosts.select("host", body.alias("robots_txt"))
+    return robots_sitemaps(src)
