@@ -1,0 +1,109 @@
+"""WARC source: Content-Length framing, gzip members, HTTP split,
+pages adapter. Reference analog: none (the reference fetches live
+pages); this is the Common-Crawl-archive ingest seam."""
+
+import gzip
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from web_scraper_spark.sources.warc import (
+    _http_split,
+    _iter_warc_records,
+    pages_from_warc,
+    parse_warc_records,
+)
+
+
+def _record(rtype: bytes, payload: bytes, extra: bytes = b"") -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype + b"\r\n" + extra +
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+
+
+def _response(url: bytes, body: bytes, status: bytes = b"200 OK") -> bytes:
+    payload = (
+        b"HTTP/1.1 " + status + b"\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    return _record(
+        b"response",
+        payload,
+        b"WARC-Target-URI: " + url + b"\r\n"
+        b"WARC-Date: 2024-05-04T12:00:07Z\r\n",
+    )
+
+
+def test_content_length_framing_payload_contains_warc_header():
+    # the payload embeds a complete fake record — delimiter splitting
+    # would yield 3 records; Content-Length framing yields 2
+    trap = b"<pre>WARC/1.0\r\nContent-Length: 4\r\n\r\nboom\r\n\r\n</pre>"
+    blob = _response(b"https://a.example/1", trap) + _response(
+        b"https://a.example/2", b"<p>ok</p>"
+    )
+    recs = list(_iter_warc_records(blob))
+    assert len(recs) == 2
+    assert recs[0][1][b"warc-target-uri"] == b"https://a.example/1"
+    assert recs[0][2].endswith(trap)
+    # offsets are record starts in the blob
+    assert recs[0][0] == 0 and recs[1][0] > len(trap)
+
+
+def test_gzip_blob_and_truncated_tail():
+    good = _response(b"https://a.example/1", b"<p>hi</p>")
+    # truncated tail: header claims more bytes than remain
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    recs = list(_iter_warc_records(gzip.compress(good + bad)))
+    assert len(recs) == 1  # complete record survives, truncation stops
+
+
+def test_http_split_status_and_non_http_payloads():
+    assert _http_split(b"HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nbody") == (
+        404,
+        b"body",
+    )
+    assert _http_split(b"GET / HTTP/1.1\r\n\r\n") == (None, None)
+    assert _http_split(b"software: test\r\n") == (None, None)
+    assert _http_split(b"HTTP/1.1 weird\r\n\r\nx") == (None, None)
+
+
+def test_parse_warc_records_and_pages_adapter(spark):
+    info = _record(b"warcinfo", b"software: test\r\n")
+    req = _record(
+        b"request",
+        b"GET /1 HTTP/1.1\r\nHost: a.example\r\n\r\n",
+        b"WARC-Target-URI: https://a.example/1\r\n",
+    )
+    blob_a = (
+        info
+        + _response(b"https://a.example/1", b"<p>one</p>")
+        + req
+        + _response(b"https://a.example/2", b"<p>two</p>", b"404 Not Found")
+    )
+    blob_b = gzip.compress(_response(b"https://b.example/9", b"<p>nine</p>"))
+    df = spark.createDataFrame(
+        [Row(src=1, content=bytearray(blob_a)), Row(src=2, content=bytearray(blob_b))]
+    )
+    recs = parse_warc_records(df, content_col="content", id_col="src").persist()
+    rows = {(r.src_id, r.rec_offset): r for r in recs.collect()}
+    assert len(rows) == 5
+    types = sorted(r.warc_type for r in rows.values())
+    assert types == ["request", "response", "response", "response", "warcinfo"]
+    statuses = sorted(
+        r.http_status for r in rows.values() if r.http_status is not None
+    )
+    assert statuses == [200, 200, 404]
+
+    pages = pages_from_warc(recs).orderBy("url")
+    got = pages.select(
+        "url", F.decode("html", "utf-8").alias("body"), "warc_ts"
+    ).collect()
+    recs.unpersist()
+    assert [(r.url, r.body) for r in got] == [
+        ("https://a.example/1", "<p>one</p>"),
+        ("https://a.example/2", "<p>two</p>"),
+        ("https://b.example/9", "<p>nine</p>"),
+    ]
+    assert all(r.warc_ts is not None for r in got)

@@ -3063,3 +3063,99 @@ def q92_robots_sitemaps(spark, sf_dir):
     )
     src = hosts.select("host", body.alias("robots_txt"))
     return robots_sitemaps(src)
+
+
+# =====================================================================
+# WARC archive round-trip (sources/warc.py): Common-Crawl-style ingest.
+# Deterministic per-doc WARC blobs (warcinfo + response + request
+# records; every even doc_id gzip-compressed; the response body embeds
+# a fake "WARC/1.0" header block so delimiter splitting would corrupt
+# the stream) -> parse_warc_records -> pages_from_warc. The oracle
+# recomputes the response body directly from documents — the archive
+# round-trip must be lossless.
+# =====================================================================
+@query(
+    "q93_warc_roundtrip",
+    oracle="""
+    SELECT 'https://' || source || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           md5('<html><body><p>WARC/1.0' || chr(13) || chr(10)
+               || 'Content-Length: 7' || chr(13) || chr(10) || chr(13)
+               || chr(10) || 'not-a-record</p><pre>' || coalesce(text, '')
+               || '</pre></body></html>') AS body_md5,
+           CAST(octet_length(encode(
+               '<html><body><p>WARC/1.0' || chr(13) || chr(10)
+               || 'Content-Length: 7' || chr(13) || chr(10) || chr(13)
+               || chr(10) || 'not-a-record</p><pre>' || coalesce(text, '')
+               || '</pre></body></html>')) AS BIGINT) AS body_len,
+           CAST(1714824000 + doc_id % 60 AS BIGINT) AS ts_epoch
+    FROM documents
+    """,
+)
+def q93_warc_roundtrip(spark, sf_dir):
+    """WARC ingest round-trip: synthesize one 3-record WARC blob per
+    document (mapInPandas), parse it back with the Content-Length
+    cursor, adapt responses into the pages shape, and digest the body.
+    A repartition barrier separates the two Python stages (CLAUDE.md
+    rule). Scale shape: both passes are Arrow-batched and per-blob
+    independent — at CC scale a blob is a ~1 GB segment, not a page."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from ..sources.warc import pages_from_warc, parse_warc_records
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    blob_schema = "doc_id long, blob binary"
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                body = (
+                    "<html><body><p>WARC/1.0\r\nContent-Length: 7\r\n\r\n"
+                    "not-a-record</p><pre>" + ("" if text is None else text)
+                    + "</pre></body></html>"
+                ).encode("utf-8")
+                url = f"https://{src}.example.com/doc/{did}".encode()
+                status = b"200 OK" if did % 7 else b"404 Not Found"
+                http = (
+                    b"HTTP/1.1 " + status
+                    + b"\r\nContent-Type: text/html\r\n\r\n" + body
+                )
+
+                def rec(rtype: bytes, payload: bytes, extra: bytes = b"") -> bytes:
+                    return (
+                        b"WARC/1.0\r\nWARC-Type: " + rtype + b"\r\n" + extra
+                        + b"Content-Length: " + str(len(payload)).encode()
+                        + b"\r\n\r\n" + payload + b"\r\n\r\n"
+                    )
+
+                blob = (
+                    rec(b"warcinfo", b"software: synthetic\r\n")
+                    + rec(
+                        b"response",
+                        http,
+                        b"WARC-Target-URI: " + url + b"\r\n"
+                        + b"WARC-Date: 2024-05-04T12:00:"
+                        + b"%02d" % (did % 60) + b"Z\r\n",
+                    )
+                    + rec(
+                        b"request",
+                        b"GET / HTTP/1.1\r\nHost: " + url + b"\r\n\r\n",
+                        b"WARC-Target-URI: " + url + b"\r\n",
+                    )
+                )
+                ids.append(did)
+                blobs.append(_gzip.compress(blob) if did % 2 == 0 else blob)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = docs.mapInPandas(synth, schema=blob_schema).repartition(8, "doc_id")
+    recs = parse_warc_records(blobs, content_col="blob", id_col="doc_id")
+    return pages_from_warc(recs).select(
+        "url",
+        F.md5("html").alias("body_md5"),
+        F.length("html").cast("long").alias("body_len"),
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+    )
