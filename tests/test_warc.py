@@ -107,3 +107,49 @@ def test_parse_warc_records_and_pages_adapter(spark):
         ("https://b.example/9", "<p>nine</p>"),
     ]
     assert all(r.warc_ts is not None for r in got)
+
+
+def test_surt_url_edge_cases(spark):
+    from web_scraper_spark.functions.columns import surt_url
+
+    cases = [
+        # (input, expected)
+        ("https://www.Example.COM/Path/", "com,example)/path"),
+        ("http://example.com:80/", "com,example)/"),
+        ("https://example.com:8443/a", "com,example:8443)/a"),
+        ("https://example.com/a?b=2&a=1&utm_source=x#frag",
+         "com,example)/a?a=1&b=2"),
+        ("https://sub.www.example.com", "com,example,www,sub)/"),
+        ("https://example.com/a?utm_only=1", "com,example)/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {r.url: r.surt for r in df.select("url", surt_url(F.col("url")).alias("surt")).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_cdx_from_records_seek_triple(spark):
+    from web_scraper_spark.sources.warc import cdx_from_records
+
+    info = _record(b"warcinfo", b"software: test\r\n")
+    r1 = _response(b"https://www.a.example/x?b=2&a=1", b"<p>one</p>")
+    blob = info + r1 + _response(b"https://a.example/y", b"<p>two</p>", b"404 Not Found")
+    df = spark.createDataFrame([Row(src=7, content=bytearray(blob))])
+    cdx = cdx_from_records(
+        parse_warc_records(df, content_col="content", id_col="src")
+    ).orderBy("rec_offset")
+    rows = cdx.collect()
+    assert [r.surt for r in rows] == [
+        "example,a)/x?a=1&b=2",
+        "example,a)/y",
+    ]
+    assert rows[0].ts14 == "20240504120007"
+    assert [r.http_status for r in rows] == [200, 404]
+    # the seek triple: offset of record 2 = len(info) + len(record 1)
+    assert rows[0].rec_offset == len(info)
+    assert rows[1].rec_offset == len(info) + len(r1)
+    assert rows[0].src_id == 7
+    # rec_len is the full HTTP payload (status line + headers + body)
+    assert rows[0].rec_len == len(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>one</p>"
+    )

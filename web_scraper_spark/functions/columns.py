@@ -249,3 +249,40 @@ def fetch_mode_wait_ms(mode: Column) -> Column:
         .otherwise(F.lit(0))
         .cast("long")
     )
+
+
+def surt_url(url: Column) -> Column:
+    """SURT-form archive key (Sort-friendly URI Reordering Transform,
+    the key every web-archive CDX index sorts by — pywb/OpenWayback
+    convention): scheme dropped, host lowercased, leading ``www.``
+    stripped, default port (:80 http / :443 https) stripped, host
+    labels reversed and comma-joined, then ``)`` + lowercased path
+    (trailing slash stripped off non-root paths) + sorted query with
+    ``utm_*``/empty params dropped, fragment gone. One SURT bucket =
+    one page identity across trivially-distinct spellings — the prefix
+    scan key for a 100-TB archive index. Pure Column expression;
+    shares canonicalization policy with canonical_url above."""
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    auth = (
+        F.when(proto == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(proto == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    host = F.regexp_replace(F.regexp_replace(auth, ":\\d+$", ""), "^www\\.", "")
+    port = F.regexp_extract(auth, ":(\\d+)$", 1)
+    rev = F.concat_ws(",", F.reverse(F.split(host, "\\.")))
+    hostport = F.when(port == "", rev).otherwise(F.concat(rev, F.lit(":"), port))
+    path = F.lower(F.parse_url(url, F.lit("PATH")))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(
+        F.when(path != "/", F.regexp_replace(path, "/$", "")).otherwise(path)
+    )
+    query = F.lower(F.parse_url(url, F.lit("QUERY")))
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: (p != "") & ~p.startswith("utm_"))
+    )
+    qpart = F.when(
+        query.isNotNull() & (F.size(params) > 0),
+        F.concat(F.lit("?"), F.concat_ws("&", params)),
+    ).otherwise(F.lit(""))
+    return F.concat(hostport, F.lit(")"), path, qpart)

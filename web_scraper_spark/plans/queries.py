@@ -3074,38 +3074,18 @@ def q92_robots_sitemaps(spark, sf_dir):
 # recomputes the response body directly from documents — the archive
 # round-trip must be lossless.
 # =====================================================================
-@query(
-    "q93_warc_roundtrip",
-    oracle="""
-    SELECT 'https://' || source || '.example.com/doc/'
-             || CAST(doc_id AS VARCHAR) AS url,
-           md5('<html><body><p>WARC/1.0' || chr(13) || chr(10)
-               || 'Content-Length: 7' || chr(13) || chr(10) || chr(13)
-               || chr(10) || 'not-a-record</p><pre>' || coalesce(text, '')
-               || '</pre></body></html>') AS body_md5,
-           CAST(octet_length(encode(
-               '<html><body><p>WARC/1.0' || chr(13) || chr(10)
-               || 'Content-Length: 7' || chr(13) || chr(10) || chr(13)
-               || chr(10) || 'not-a-record</p><pre>' || coalesce(text, '')
-               || '</pre></body></html>')) AS BIGINT) AS body_len,
-           CAST(1714824000 + doc_id % 60 AS BIGINT) AS ts_epoch
-    FROM documents
-    """,
-)
-def q93_warc_roundtrip(spark, sf_dir):
-    """WARC ingest round-trip: synthesize one 3-record WARC blob per
-    document (mapInPandas), parse it back with the Content-Length
-    cursor, adapt responses into the pages shape, and digest the body.
-    A repartition barrier separates the two Python stages (CLAUDE.md
-    rule). Scale shape: both passes are Arrow-batched and per-blob
-    independent — at CC scale a blob is a ~1 GB segment, not a page."""
+def _synth_warc_blobs(docs: DataFrame) -> DataFrame:
+    """Deterministic WARC fixture blobs from documents rows (doc_id,
+    source, text): one 3-record blob per doc (warcinfo + response +
+    request), 404 status on doc_id%7==0, whole-blob gzip on even
+    doc_id, and a fake ``WARC/1.0`` header block embedded in the
+    response body so delimiter splitting would corrupt the stream.
+    Shared by q93 (round-trip) and q95 (CDX index) so their oracles
+    replay one layout. Ends with a repartition barrier — the consumer
+    is another Python stage (CLAUDE.md rule)."""
     import gzip as _gzip
 
     import pandas as pd
-
-    from ..sources.warc import pages_from_warc, parse_warc_records
-
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "text")
 
     blob_schema = "doc_id long, blob binary"
 
@@ -3151,7 +3131,38 @@ def q93_warc_roundtrip(spark, sf_dir):
                 blobs.append(_gzip.compress(blob) if did % 2 == 0 else blob)
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
-    blobs = docs.mapInPandas(synth, schema=blob_schema).repartition(8, "doc_id")
+    return docs.mapInPandas(synth, schema=blob_schema).repartition(8, "doc_id")
+
+
+@query(
+    "q93_warc_roundtrip",
+    oracle="""
+    SELECT 'https://' || source || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           md5('<html><body><p>WARC/1.0' || chr(13) || chr(10)
+               || 'Content-Length: 7' || chr(13) || chr(10) || chr(13)
+               || chr(10) || 'not-a-record</p><pre>' || coalesce(text, '')
+               || '</pre></body></html>') AS body_md5,
+           CAST(octet_length(encode(
+               '<html><body><p>WARC/1.0' || chr(13) || chr(10)
+               || 'Content-Length: 7' || chr(13) || chr(10) || chr(13)
+               || chr(10) || 'not-a-record</p><pre>' || coalesce(text, '')
+               || '</pre></body></html>')) AS BIGINT) AS body_len,
+           CAST(1714824000 + doc_id % 60 AS BIGINT) AS ts_epoch
+    FROM documents
+    """,
+)
+def q93_warc_roundtrip(spark, sf_dir):
+    """WARC ingest round-trip: synthesize one 3-record WARC blob per
+    document (mapInPandas, _synth_warc_blobs), parse it back with the
+    Content-Length cursor, adapt responses into the pages shape, and
+    digest the body. Scale shape: both passes are Arrow-batched and
+    per-blob independent — at CC scale a blob is a ~1 GB segment, not
+    a page."""
+    from ..sources.warc import pages_from_warc, parse_warc_records
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    blobs = _synth_warc_blobs(docs)
     recs = parse_warc_records(blobs, content_col="blob", id_col="doc_id")
     return pages_from_warc(recs).select(
         "url",
@@ -3159,3 +3170,132 @@ def q93_warc_roundtrip(spark, sf_dir):
         F.length("html").cast("long").alias("body_len"),
         F.col("warc_ts").cast("long").alias("ts_epoch"),
     )
+
+
+# =====================================================================
+# SURT archive keys (functions/columns.py:surt_url): three families of
+# trivially-distinct spellings per page (uppercase+www+default-port+
+# fragment; param reorder+utm noise; trailing slash+default port) must
+# collapse to ONE analytically-known SURT bucket. The oracle does NOT
+# replay the algorithm — it constructs the same spellings and asserts
+# the expected key directly, an independent check.
+# =====================================================================
+@query(
+    "q94_surt_collapse",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS k,
+             source || '.example.com' AS host
+      FROM documents),
+    u AS (
+      SELECT doc_id, source, k,
+        'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR)
+          || CASE WHEN k % 3 = 1 THEN '?a=1&b=2' ELSE '' END AS u1,
+        CASE k % 3
+          WHEN 0 THEN upper('https://www.' || host || ':443/doc/')
+                      || CAST(doc_id AS VARCHAR) || '#frag'
+          WHEN 1 THEN 'https://www.' || host || '/doc/'
+                      || CAST(doc_id AS VARCHAR) || '?b=2&a=1&utm_source=x'
+          ELSE 'https://' || host || ':443/doc/'
+                      || CAST(doc_id AS VARCHAR) || '/'
+        END AS u2
+      FROM d)
+    SELECT 'com,example,' || source || ')/doc/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN k % 3 = 1 THEN '?a=1&b=2' ELSE '' END AS surt,
+           CAST(2 AS BIGINT) AS n_urls,
+           least(u1, u2) AS url_min
+    FROM u
+    """,
+)
+def q94_surt_collapse(spark, sf_dir):
+    """Two spellings per doc explode through surt_url and must meet in
+    one bucket: groupBy(surt) sees exactly 2 urls whose min the oracle
+    predicts. The groupBy key is the SURT string — the same prefix-scan
+    key a CDX index buckets by, so this is also the dedup-by-archive-
+    key plan shape (exchange on surt only, urls never compared
+    pairwise)."""
+    from ..functions.columns import surt_url
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.substring("source", 4, 10).cast("int").alias("k"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+    )
+    ids = F.col("doc_id").cast("string")
+    u1 = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/doc/"), ids,
+        F.when(F.col("k") % 3 == 1, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    u2 = (
+        F.when(
+            F.col("k") % 3 == 0,
+            F.concat(
+                F.upper(F.concat(F.lit("https://www."), F.col("host"),
+                                 F.lit(":443/doc/"))),
+                ids, F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("k") % 3 == 1,
+            F.concat(F.lit("https://www."), F.col("host"), F.lit("/doc/"),
+                     ids, F.lit("?b=2&a=1&utm_source=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("host"), F.lit(":443/doc/"),
+                     ids, F.lit("/"))
+        )
+    )
+    urls = d.select(F.explode(F.array(u1, u2)).alias("url"))
+    return urls.groupBy(surt_url(F.col("url")).alias("surt")).agg(
+        F.count("*").alias("n_urls"),
+        F.min("url").alias("url_min"),
+    )
+
+
+# =====================================================================
+# CDX capture index (sources/warc.py:cdx_from_records) over the shared
+# _synth_warc_blobs layout: the oracle recomputes every field from
+# documents + the fixed record framing — rec_offset is the warcinfo
+# record's byte size (constant by construction), rec_len is the HTTP
+# status line + headers + body byte count. A wrong Content-Length
+# cursor or a wrong SURT shows up as a value-hash mismatch.
+# =====================================================================
+@query(
+    "q95_warc_cdx",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             '<html><body><p>WARC/1.0' || chr(13) || chr(10)
+               || 'Content-Length: 7' || chr(13) || chr(10) || chr(13)
+               || chr(10) || 'not-a-record</p><pre>' || coalesce(text, '')
+               || '</pre></body></html>' AS body
+      FROM documents)
+    SELECT 'com,example,' || source || ')/doc/'
+             || CAST(doc_id AS VARCHAR) AS surt,
+           '202405041200' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             AS ts14,
+           'https://' || source || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER)
+             AS http_status,
+           md5(body) AS digest_md5,
+           CAST(octet_length(encode(body))
+                + CASE WHEN doc_id % 7 = 0 THEN 51 ELSE 44 END AS BIGINT)
+             AS rec_len,
+           CAST(78 AS BIGINT) AS rec_offset,
+           doc_id AS src_id
+    FROM b
+    """,
+)
+def q95_warc_cdx(spark, sf_dir):
+    """CDX index build over the synthesized archive: parse the blobs,
+    index the responses. rec_offset/rec_len come from the parser's
+    Content-Length cursor; the oracle derives them from the framing
+    arithmetic instead — the two must agree byte-for-byte or the seek
+    triple is useless."""
+    from ..sources.warc import cdx_from_records, parse_warc_records
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    blobs = _synth_warc_blobs(docs)
+    recs = parse_warc_records(blobs, content_col="blob", id_col="doc_id")
+    return cdx_from_records(recs)

@@ -178,3 +178,29 @@ def pages_from_warc(records: DataFrame) -> DataFrame:
             F.col("http_body").alias("html"),
         )
     )
+
+
+def cdx_from_records(records: DataFrame) -> DataFrame:
+    """CDX-style capture index over parsed response records — the
+    random-access key a web archive needs (pywb/OpenWayback CDXJ
+    convention): one row per capture with the SURT sort key, 14-digit
+    timestamp, payload digest, and the (src_id, rec_offset, rec_len)
+    triple that seeks straight to the record inside its segment
+    without rescanning. Sorting/bucketing by ``surt`` gives the
+    prefix-scan layout archive lookups want at 100 TB. Pure Column
+    work over the already-parsed table; digest is md5 hex of the
+    HTTP payload (repo hash idiom)."""
+    from ..functions.columns import surt_url
+
+    return records.filter(
+        (F.col("warc_type") == "response") & F.col("http_body").isNotNull()
+    ).select(
+        surt_url(F.col("target_uri")).alias("surt"),
+        F.date_format(F.to_timestamp("warc_date"), "yyyyMMddHHmmss").alias("ts14"),
+        F.col("target_uri").alias("url"),
+        F.col("http_status").alias("http_status"),
+        F.md5("http_body").alias("digest_md5"),
+        F.col("content_length").alias("rec_len"),
+        F.col("rec_offset"),
+        F.col("src_id"),
+    )
