@@ -153,3 +153,42 @@ def test_cdx_from_records_seek_triple(spark):
     assert rows[0].rec_len == len(
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>one</p>"
     )
+
+
+def test_crawl_over_warc_corpus(spark, tmp_path):
+    """Replay-crawl composition: a parsed WARC archive IS a crawlable
+    corpus — pages_from_warc feeds run_crawl's fetch join directly,
+    the 100-TB training-pipeline path (crawl Common Crawl instead of
+    the live web). Link discovery, depth, and the seen set must work
+    identically to a synthetic corpus."""
+    from web_scraper_spark.crawl.rounds import CrawlConfig, run_crawl
+    from web_scraper_spark.sources.warc import pages_from_warc, parse_warc_records
+
+    def page(url: str, links: list[str]) -> bytes:
+        body = (
+            "<html><body><main><h1>t</h1><p>hello world</p>"
+            + "".join(f'<a href="{l}">l</a>' for l in links)
+            + "</main></body></html>"
+        )
+        return _response(url.encode(), body.encode())
+
+    blob = (
+        page("https://a.example/", ["https://a.example/1", "https://b.example/"])
+        + page("https://a.example/1", ["https://a.example/2"])
+        + page("https://a.example/2", [])
+        + page("https://b.example/", [])
+    )
+    df = spark.createDataFrame([Row(src=1, content=bytearray(blob))])
+    pages = pages_from_warc(
+        parse_warc_records(df, content_col="content", id_col="src")
+    )
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"), quota_per_host=8, max_depth=2, n_shards=4
+    )
+    stats = run_crawl(
+        spark, cfg, pages, robots=None,
+        seed_urls=["https://a.example/"], n_rounds=3,
+    )
+    assert stats[0]["scheduled"] == 1
+    assert stats[1]["scheduled"] == 2  # both discovered links fetch
+    assert stats[2]["scheduled"] == 1  # depth-2 tail
