@@ -192,3 +192,62 @@ def test_crawl_over_warc_corpus(spark, tmp_path):
     assert stats[0]["scheduled"] == 1
     assert stats[1]["scheduled"] == 2  # both discovered links fetch
     assert stats[2]["scheduled"] == 1  # depth-2 tail
+
+
+def test_read_warc_dir_binary_file_source(spark, tmp_path):
+    """One task per segment file via the binaryFile source; gzip and
+    plain segments in one directory; src_id keys back to files."""
+    from web_scraper_spark.sources.warc import read_warc_dir
+
+    seg1 = _response(b"https://a.example/1", b"<p>one</p>") + _response(
+        b"https://a.example/2", b"<p>two</p>"
+    )
+    seg2 = gzip.compress(_response(b"https://b.example/9", b"<p>nine</p>"))
+    (tmp_path / "seg-00001.warc").write_bytes(seg1)
+    (tmp_path / "seg-00002.warc.gz").write_bytes(seg2)
+    (tmp_path / "ignore.txt").write_bytes(b"not a warc")
+    recs = read_warc_dir(spark, str(tmp_path)).persist()
+    assert recs.count() == 3
+    assert recs.select("src_id").distinct().count() == 2
+    urls = sorted(r.target_uri for r in recs.select("target_uri").collect())
+    recs.unpersist()
+    assert urls == [
+        "https://a.example/1",
+        "https://a.example/2",
+        "https://b.example/9",
+    ]
+
+
+def test_merge_cdx_snapshots_revisit_collapse(spark):
+    from web_scraper_spark.sources.warc import cdx_from_records, merge_cdx_snapshots
+
+    def crawl(ts: bytes, body2: bytes) -> bytes:
+        r1 = _record(
+            b"response",
+            b"HTTP/1.1 200 OK\r\n\r\n<p>same</p>",
+            b"WARC-Target-URI: https://a.example/x\r\nWARC-Date: " + ts + b"\r\n",
+        )
+        r2 = _record(
+            b"response",
+            b"HTTP/1.1 200 OK\r\n\r\n" + body2,
+            b"WARC-Target-URI: https://a.example/y\r\nWARC-Date: " + ts + b"\r\n",
+        )
+        return r1 + r2
+
+    df = spark.createDataFrame(
+        [
+            Row(src=1, content=bytearray(crawl(b"2024-05-04T12:00:00Z", b"<p>v1</p>"))),
+            Row(src=2, content=bytearray(crawl(b"2024-06-04T12:00:00Z", b"<p>v2</p>"))),
+        ]
+    )
+    cdx = cdx_from_records(
+        parse_warc_records(df, content_col="content", id_col="src")
+    )
+    merged = merge_cdx_snapshots(cdx).orderBy("surt", "ts14").collect()
+    # /x unchanged: one row, earliest ts, 2 captures, seek into src 1
+    # /y changed: both rows survive with 1 capture each
+    assert [(r.surt, r.ts14[:6], r.n_captures, r.src_id) for r in merged] == [
+        ("example,a)/x", "202405", 2, 1),
+        ("example,a)/y", "202405", 1, 1),
+        ("example,a)/y", "202406", 1, 2),
+    ]

@@ -3299,3 +3299,79 @@ def q95_warc_cdx(spark, sf_dir):
     blobs = _synth_warc_blobs(docs)
     recs = parse_warc_records(blobs, content_col="blob", id_col="doc_id")
     return cdx_from_records(recs)
+
+
+# =====================================================================
+# CDX snapshot merge (sources/warc.py:merge_cdx_snapshots): two crawl
+# snapshots of the same corpus, one month apart; docs with id%5==0
+# changed content. Revisits (same surt+digest) must collapse to the
+# EARLIEST capture with n_captures=2; changed docs keep both rows.
+# The oracle constructs the expected merged index analytically.
+# =====================================================================
+@query(
+    "q96_cdx_snapshot_merge",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars, coalesce(text, '') AS t,
+             'com,example,' || source || ')/doc/'
+               || CAST(doc_id AS VARCHAR) AS surt,
+             'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ss
+      FROM documents)
+    SELECT surt, '202405041200' || ss AS ts14, url,
+           CAST(200 AS INTEGER) AS http_status,
+           md5(t) AS digest_md5,
+           n_chars AS rec_len, doc_id AS rec_offset,
+           CAST(1 AS BIGINT) AS src_id,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_captures
+    FROM d
+    UNION ALL
+    SELECT surt, '202406041200' || ss AS ts14, url,
+           CAST(200 AS INTEGER) AS http_status,
+           md5(t || ' v2') AS digest_md5,
+           n_chars AS rec_len, doc_id + 7 AS rec_offset,
+           CAST(2 AS BIGINT) AS src_id,
+           CAST(1 AS BIGINT) AS n_captures
+    FROM d WHERE doc_id % 5 = 0
+    """,
+)
+def q96_cdx_snapshot_merge(spark, sf_dir):
+    """Cross-snapshot index maintenance: union two months' CDX rows,
+    collapse revisits to the earliest capture, count recrawls. The
+    only exchange is on (surt, digest) — key + seek-triple columns,
+    never payloads — the per-snapshot maintenance job shape that holds
+    at 10^12 captures."""
+    from ..sources.warc import merge_cdx_snapshots
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.coalesce("text", F.lit("")).alias("t"),
+        F.concat(F.lit("com,example,"), F.col("source"), F.lit(")/doc/"),
+                 F.col("doc_id").cast("string")).alias("surt"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0").alias("ss"),
+    )
+
+    def snap(ts_prefix: str, content, src_id: int, off_delta: int):
+        return d.select(
+            "surt",
+            F.concat(F.lit(ts_prefix), F.col("ss")).alias("ts14"),
+            "url",
+            F.lit(200).alias("http_status"),
+            F.md5(content).alias("digest_md5"),
+            F.col("n_chars").alias("rec_len"),
+            (F.col("doc_id") + off_delta).alias("rec_offset"),
+            F.lit(src_id).cast("long").alias("src_id"),
+        )
+
+    a = snap("202405041200", F.col("t"), 1, 0)
+    # month 2 recrawls everything; docs with id%5==0 changed content
+    # (new digest), the rest revisit byte-identically
+    changed = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("t"), F.lit(" v2"))
+    ).otherwise(F.col("t"))
+    b = snap("202406041200", changed, 2, 7)
+    cdx = a.unionByName(b)
+    return merge_cdx_snapshots(cdx)

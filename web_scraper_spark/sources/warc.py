@@ -204,3 +204,52 @@ def cdx_from_records(records: DataFrame) -> DataFrame:
         F.col("rec_offset"),
         F.col("src_id"),
     )
+
+
+def read_warc_dir(
+    spark, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Directory of WARC segment files → parsed record table, via
+    Spark's binaryFile source (one row per file, ``content`` binary).
+    Parallelism = one task per segment file, the natural CC layout
+    (~1 GB gzip segments); ``src_id`` is the path hash so the CDX
+    seek triple stays joinable back to a file listing. At 100 TB this
+    is the scan whose partition count IS the file count — no shuffle
+    anywhere before the consumer."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(F.xxhash64("path").alias("_sid"), "content")
+    )
+    return parse_warc_records(files, content_col="content", id_col="_sid")
+
+
+def merge_cdx_snapshots(cdx: DataFrame) -> DataFrame:
+    """Collapse revisit captures across crawl snapshots: unioned CDX
+    rows that share (surt, digest_md5) are the same content seen
+    again — keep the EARLIEST capture (min ts14, seek-triple
+    tie-broken for determinism) and count the revisits, the
+    Common-Crawl cross-snapshot dedup rule. One exchange on
+    (surt, digest) — the collapsed key — never on payloads; at
+    10^12-capture scale this is the index-maintenance job that runs
+    per snapshot, so it must (and does) shuffle only key+triple
+    columns."""
+    keep = F.min(
+        F.struct("ts14", "src_id", "rec_offset", "url", "http_status", "rec_len")
+    ).alias("k")
+    return (
+        cdx.groupBy("surt", "digest_md5")
+        .agg(keep, F.count("*").alias("n_captures"))
+        .select(
+            "surt",
+            F.col("k.ts14").alias("ts14"),
+            F.col("k.url").alias("url"),
+            F.col("k.http_status").alias("http_status"),
+            "digest_md5",
+            F.col("k.rec_len").alias("rec_len"),
+            F.col("k.rec_offset").alias("rec_offset"),
+            F.col("k.src_id").alias("src_id"),
+            "n_captures",
+        )
+    )
