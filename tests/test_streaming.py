@@ -423,3 +423,54 @@ def test_near_dup_store_guards_and_crash_safe_compaction(spark, tmp_path):
         for r in spark.read.parquet(pairs + "/batch=*").collect()
     }
     assert ("https://c.x/near2", "https://d.x/near3") in got2
+
+
+def test_warc_segments_stream_exactly_once_per_segment(spark, tmp_path):
+    """Archive segments landing in a directory are parsed exactly once
+    across triggers/restarts (file-source checkpoint), and the parsed
+    stream adapts into pages rows unchanged."""
+    import gzip
+
+    from web_scraper_spark.sources.warc import pages_from_warc
+    from web_scraper_spark.streaming.stream import warc_segments_stream
+
+    def response(url: bytes, body: bytes) -> bytes:
+        payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: 2024-05-04T12:00:00Z\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    out = str(tmp_path / "pages_out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        pages = pages_from_warc(warc_segments_stream(spark, str(warc_dir)))
+        q = (
+            pages.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (warc_dir / "seg-1.warc").write_bytes(
+        response(b"https://a.example/1", b"<p>one</p>")
+        + response(b"https://a.example/2", b"<p>two</p>")
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 2
+
+    (warc_dir / "seg-2.warc.gz").write_bytes(
+        gzip.compress(response(b"https://b.example/9", b"<p>nine</p>"))
+    )
+    drain()  # restart: seg-1 must NOT be re-parsed
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.select("url").distinct().count() == 3

@@ -122,3 +122,43 @@ def run_foreachbatch_extraction(
     else:
         q = writer.start()
     q.awaitTermination()
+
+
+def warc_segments_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming archive ingest: WARC segment files landing in
+    ``warc_dir`` (fetcher output, or a Common-Crawl sync) become a
+    stream of parsed records — the micro-batch twin of
+    :func:`web_scraper_spark.sources.warc.read_warc_dir`. The file
+    source tracks consumed segments in the query checkpoint, so each
+    segment is parsed exactly once across restarts; one task per new
+    file, same as the batch path. Compose with ``pages_from_warc`` +
+    ``stream_extract`` (stateless maps work unchanged on streams) or
+    a ``foreachBatch`` round sink."""
+    from pyspark.sql import types as T
+
+    from ..sources.warc import parse_warc_records
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(warc_dir).select(
+        F.xxhash64("path").alias("_sid"), "content"
+    )
+    return parse_warc_records(files, content_col="content", id_col="_sid")
