@@ -1421,3 +1421,30 @@ def test_duplicate_spans_keep_first_policy(spark):
 
     with _pytest.raises(ValueError):
         duplicate_spans(df, "text", "doc_id", policy="nope")
+
+
+def test_domain_cap_downsamples_only_hot_domains(spark):
+    from web_scraper_spark.operators.relational import domain_cap_sample
+
+    rows = [(i, "hot.example" if i % 2 == 0 else f"cold{i % 10}.example")
+            for i in range(2000)]
+    d = spark.createDataFrame(rows, ["doc_id", "host"])
+    capped = domain_cap_sample(d, "doc_id", "host", 200_000).persist()
+    by_host = {r.host: r.n for r in
+               capped.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # cold domains (10% share each — odd ids spread over 5 hosts,
+    # under the 20% cap) pass whole
+    for h, n in by_host.items():
+        if h != "hot.example":
+            assert n == 200, (h, n)
+    # hot domain (50% share) downsamples to rate 400000 ppm of its
+    # 1000 docs — md5-deterministic, so an exact count, near 400
+    assert 330 <= by_host["hot.example"] <= 470
+    # deterministic: same kept set across plans/parallelism
+    again = domain_cap_sample(
+        d.repartition(13), "doc_id", "host", 200_000
+    )
+    assert {r.doc_id for r in again.select("doc_id").collect()} == {
+        r.doc_id for r in capped.select("doc_id").collect()
+    }
+    capped.unpersist()

@@ -78,3 +78,27 @@ def test_curate_stage_toggles(spark):
     assert n_de_out == n_de_in                     # default_ppm keeps strata whole
     assert 0 < n_en_out < n_en_in                  # en downsampled
     assert "fold" not in out.columns
+
+
+def test_curate_domain_cap_stage(spark):
+    d = _base(spark).withColumn(
+        "host",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example")).otherwise(
+            F.concat(F.lit("cold"), (F.col("doc_id") % 5).cast("string"))
+        ),
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, fuzzy=False,
+        domain_col="host", domain_cap_ppm=200_000,
+    )
+    out = curate(d, "text", "doc_id", "lang", cfg).persist()
+    n_in = d.count()
+    hot_out = out.filter(F.col("host") == "hot.example").count()
+    cold_in = d.filter(F.col("host") != "hot.example").count()
+    cold_out = out.filter(F.col("host") != "hot.example").count()
+    out.unpersist()
+    # exact dedup may drop a couple of rows; the cap is the big cut:
+    # hot had ~50% share, capped at 20% of pre-cap total
+    assert hot_out <= 0.3 * n_in
+    assert hot_out > 0
+    assert cold_out >= 0.95 * cold_in  # cold domains pass (minus dedup)

@@ -52,6 +52,8 @@ SHOW = [
     ("q91_keep_first_pipeline", "ExactSubstr end-to-end: span location + keeper election + range cut; shuffles only on digest and doc id, never a self-join"),
     ("q94_surt_collapse", "SURT dedup key: pure-Column key derivation, one exchange on the surt string only — urls never compared pairwise"),
     ("q95_warc_cdx", "CDX index: one Arrow pass per WARC blob (records stream out batched), index fields are pure Column work over the parsed table"),
+    ("q96_cdx_snapshot_merge", "snapshot merge: one exchange on (surt,digest) carrying key+seek-triple columns only"),
+    ("q97_domain_cap", "domain balancing: counts shuffle on host (tiny output) + broadcast rate join back; the corpus is never pairwise-compared"),
 ]
 
 

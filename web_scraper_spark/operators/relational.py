@@ -375,3 +375,41 @@ def take_token_budget(
     first (e.g. xxhash64 of the natural key)."""
     r = global_running_total(df, id_col, tokens_col, block_size)
     return r.filter(F.col("running_before") < budget).drop("running_before")
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    cap_share_ppm: int,
+    salt: str = "domcap",
+) -> DataFrame:
+    """Domain balancing (the RefinedWeb/C4 curation step): no single
+    domain may exceed ``cap_share_ppm``/10^6 of the corpus — hot
+    domains are deterministically downsampled to the cap, everything
+    else passes whole. Per-domain keep rate = min(10^6,
+    cap_share_ppm * N DIV n_domain) applied through the shared ppm
+    bucket, so the kept set is reproducible at any parallelism and
+    nests with deterministic_sample's other salts. Targets are
+    computed against the pre-cap total N (no fixpoint iteration —
+    the documented, replayable rule). Scale shape: one partial-agg
+    shuffle on domain for counts (tiny output), a 1-row total
+    broadcast, and the rate join back on domain — AQE broadcasts it
+    while the domain table fits and falls back to a sort-merge join
+    (with skew split on exactly the hot domains being capped) when it
+    doesn't. The integer arithmetic is exact to N ≈ 9e12 even at
+    cap 10^6."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n_d"))
+    total = counts.agg(F.sum("_n_d").alias("_n"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        domain_col,
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(f"CAST({cap_share_ppm} AS BIGINT) * _n DIV _n_d"),
+        ).alias("_rate_ppm"),
+    )
+    return (
+        df.join(rates, domain_col)
+        .filter(_ppm_bucket(key_col, salt) < F.col("_rate_ppm"))
+        .drop("_rate_ppm")
+    )

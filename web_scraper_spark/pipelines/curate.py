@@ -4,8 +4,8 @@ gate compositions):
 
     quality gate → language gate → exact dedup → fuzzy dedup
     (MinHash-LSH → Jaccard verify → connected components → survivor
-    election) → benchmark decontamination → stratified rebalance →
-    fold split
+    election) → benchmark decontamination → domain cap →
+    stratified rebalance → fold split
 
 Every stage is one of this package's tested operators; this module
 only sequences them, so the scale shapes are the ones documented (and
@@ -35,7 +35,11 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     ngram_contamination,
 )
-from ..operators.relational import hash_split, stratified_hash_sample
+from ..operators.relational import (
+    domain_cap_sample,
+    hash_split,
+    stratified_hash_sample,
+)
 
 
 @dataclass
@@ -51,6 +55,8 @@ class CurationConfig:
     bench_text_col: str = "text"
     contamination_n: int = 13
     rates_ppm: dict = field(default_factory=dict)   # per-lang rebalance
+    domain_col: str | None = None           # set both to cap hot domains
+    domain_cap_ppm: int | None = None       # max per-domain corpus share
     default_ppm: int = 1_000_000            # strata not listed: keep all
     split_fractions: dict | None = None     # e.g. {"train":.98,"val":.01,"test":.01}
 
@@ -113,6 +119,13 @@ def curate(
             F.col("id").alias(id_col)
         )
         out = out.join(F.broadcast(dirty), id_col, "left_anti")
+
+    # 6a. domain balancing: hot domains deterministically capped at
+    # domain_cap_ppm of the corpus (counts shuffle + rate join only).
+    if cfg.domain_col is not None and cfg.domain_cap_ppm is not None:
+        out = domain_cap_sample(
+            out, id_col, cfg.domain_col, cfg.domain_cap_ppm
+        )
 
     # 6. stratified rebalance: pure-expression ppm buckets, rates nest.
     if cfg.rates_ppm:

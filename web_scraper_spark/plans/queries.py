@@ -3375,3 +3375,47 @@ def q96_cdx_snapshot_merge(spark, sf_dir):
     b = snap("202406041200", changed, 2, 7)
     cdx = a.unionByName(b)
     return merge_cdx_snapshots(cdx)
+
+
+# =====================================================================
+# Domain balancing (operators/relational.py:domain_cap_sample): a
+# synthesized hot domain holds 50% of the corpus; capped at 20% it
+# must downsample to rate 400000 ppm while every cold domain (~2.5%)
+# passes whole. The oracle replays counts + the integer-div rate +
+# the md5 ppm bucket bit-for-bit.
+# =====================================================================
+@query(
+    "q97_domain_cap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+                  ELSE source || '.example.com' END AS host
+      FROM documents),
+    c AS (
+      SELECT doc_id, host,
+             count(*) OVER (PARTITION BY host) AS n_d,
+             count(*) OVER () AS n
+      FROM d)
+    SELECT doc_id, host FROM c
+    WHERE {_bucket_sql('doc_id', 'domcap')}
+          < least(1000000, (200000 * n) // n_d)
+    """,
+)
+def q97_domain_cap(spark, sf_dir):
+    """Cap any domain at 20% of the corpus: the hot half downsamples
+    deterministically, cold domains are untouched. The corpus-side
+    work is one count shuffle on host + the rate join back — rows are
+    never compared pairwise and the kept set is identical at any
+    parallelism."""
+    from ..operators.relational import domain_cap_sample
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example"))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+        .alias("host"),
+    )
+    return domain_cap_sample(d, "doc_id", "host", 200_000).select(
+        "doc_id", "host"
+    )
