@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "q87_perplexity_buckets", "q88_chunk_tokens", "q89_keep_first_spans",
     "q90_sitemap_parse", "q91_keep_first_pipeline", "q92_robots_sitemaps",
     "q93_warc_roundtrip", "q94_surt_collapse", "q95_warc_cdx",
-    "q96_cdx_snapshot_merge", "q97_domain_cap",
+    "q96_cdx_snapshot_merge", "q97_domain_cap", "q98_recrawl_frontier",
 ]
 
 

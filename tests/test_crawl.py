@@ -462,3 +462,46 @@ def test_crawl_authority_ordered_scheduling(spark, tmp_path):
     seen_auth = {r["url"] for r in _read_logs(spark, ck).collect()}
     seen_plain = {r["url"] for r in _read_logs(spark, ck2).collect()}
     assert seen_auth == seen_plain
+
+
+def test_recrawl_seeds_frontier_and_crawls_stale_pages(spark, tmp_path):
+    """Loop-closer: the CDX index's stale half seeds a new crawl via
+    init_crawl(seed_frontier=...) — stalest-first priority, standard
+    seen-set semantics from there on."""
+    from web_scraper_spark.crawl.recrawl import (
+        frontier_from_recrawl,
+        recrawl_candidates,
+    )
+    from web_scraper_spark.crawl.rounds import CrawlConfig
+    from web_scraper_spark.crawl.rounds import run_crawl as _run
+
+    # raw capture index: /a captured in May only (stale), /b recrawled
+    # in June (fresh)
+    cdx = spark.createDataFrame(
+        [
+            ("example,a)/", "20240504120000", "https://a.example/"),
+            ("example,b)/", "20240504120000", "https://b.example/"),
+            ("example,b)/", "20240604120000", "https://b.example/"),
+        ],
+        ["surt", "ts14", "url"],
+    )
+    cands = recrawl_candidates(cdx, "20240601000000")
+    assert [(r.url, r.last_ts14) for r in cands.collect()] == [
+        ("https://a.example/", "20240504120000")
+    ]
+
+    corpus = pages_df(spark, 64)
+    seeds = frontier_from_recrawl(cands)
+    # the synthetic corpus has its own urls; rename the seed onto one
+    target = corpus.limit(1).collect()[0].url
+    seeds = seeds.withColumn("url", F.lit(target)).withColumn(
+        "host", F.expr("parse_url(url, 'HOST')")
+    )
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"), quota_per_host=8, max_depth=0, n_shards=4
+    )
+    stats = _run(
+        spark, cfg, corpus, robots=None, seed_urls=None,
+        n_rounds=1, seed_frontier=seeds,
+    )
+    assert stats[0]["scheduled"] == 1 and stats[0]["fetched"] == 1

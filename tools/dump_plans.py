@@ -54,6 +54,7 @@ SHOW = [
     ("q95_warc_cdx", "CDX index: one Arrow pass per WARC blob (records stream out batched), index fields are pure Column work over the parsed table"),
     ("q96_cdx_snapshot_merge", "snapshot merge: one exchange on (surt,digest) carrying key+seek-triple columns only"),
     ("q97_domain_cap", "domain balancing: counts shuffle on host (tiny output) + broadcast rate join back; the corpus is never pairwise-compared"),
+    ("q98_recrawl_frontier", "recrawl scheduling: one groupBy exchange on the index key (surt), then filter + pure-Column frontier projection"),
 ]
 
 

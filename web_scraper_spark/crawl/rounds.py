@@ -493,6 +493,7 @@ def init_crawl(
     cfg: CrawlConfig,
     seed_urls: list[str] | None = None,
     seed_sitemaps: DataFrame | None = None,
+    seed_frontier: DataFrame | None = None,
 ) -> None:
     """Write the round=-0 bootstrap state (frontier only).
 
@@ -505,20 +506,31 @@ def init_crawl(
     ``<sitemapindex>`` in the table — nested expansion happens through
     the fetch loop, not here. When both seed forms are given, explicit
     ``seed_urls`` win on duplicate URLs (they carry the caller's
-    stated order)."""
-    if seed_urls is None and seed_sitemaps is None:
-        raise ValueError("init_crawl needs seed_urls and/or seed_sitemaps")
+    stated order).
+
+    ``seed_frontier`` is a ready-made FRONTIER_SCHEMA table — the
+    recrawl path (crawl/recrawl.py:frontier_from_recrawl feeds the
+    stale half of a CDX index back in) or any caller-built frontier.
+    Duplicate precedence: seed_urls > seed_sitemaps > seed_frontier."""
+    if seed_urls is None and seed_sitemaps is None and seed_frontier is None:
+        raise ValueError(
+            "init_crawl needs seed_urls, seed_sitemaps and/or seed_frontier"
+        )
     frontier = seeds_to_frontier(spark, seed_urls) if seed_urls else None
+
+    def merge(base: DataFrame | None, extra: DataFrame) -> DataFrame:
+        if base is None:
+            return extra
+        return base.unionByName(
+            extra.join(base.select("url"), "url", "left_anti")
+        )
+
     if seed_sitemaps is not None:
         from .sitemaps import frontier_from_sitemaps, parse_sitemaps
 
-        sm = frontier_from_sitemaps(parse_sitemaps(seed_sitemaps))
-        if frontier is None:
-            frontier = sm
-        else:
-            frontier = frontier.unionByName(
-                sm.join(frontier.select("url"), "url", "left_anti")
-            )
+        frontier = merge(frontier, frontier_from_sitemaps(parse_sitemaps(seed_sitemaps)))
+    if seed_frontier is not None:
+        frontier = merge(frontier, seed_frontier)
     rdir = _round_dir(cfg, -1)
     _write(frontier, os.path.join(rdir, "frontier"))
     with open(os.path.join(rdir, "_COMMIT"), "w") as fh:
@@ -534,6 +546,7 @@ def run_crawl(
     n_rounds: int,
     resume: bool = False,
     seed_sitemaps: DataFrame | None = None,
+    seed_frontier: DataFrame | None = None,
 ) -> list[dict]:
     """Run (or resume) a crawl for up to ``n_rounds`` rounds.
 
@@ -552,11 +565,15 @@ def run_crawl(
             raise RuntimeError("nothing to resume")
         start = last + 1
     else:
-        if seed_urls is None and seed_sitemaps is None:
+        if seed_urls is None and seed_sitemaps is None and seed_frontier is None:
             raise ValueError(
-                "seed_urls and/or seed_sitemaps required for a fresh crawl"
+                "seed_urls, seed_sitemaps and/or seed_frontier required "
+                "for a fresh crawl"
             )
-        init_crawl(spark, cfg, seed_urls, seed_sitemaps=seed_sitemaps)
+        init_crawl(
+            spark, cfg, seed_urls,
+            seed_sitemaps=seed_sitemaps, seed_frontier=seed_frontier,
+        )
         start = 0
     stats = []
     for rid in range(start, start + n_rounds):

@@ -3419,3 +3419,52 @@ def q97_domain_cap(spark, sf_dir):
     return domain_cap_sample(d, "doc_id", "host", 200_000).select(
         "doc_id", "host"
     )
+
+
+# =====================================================================
+# Recrawl scheduling (crawl/recrawl.py): the capture index drives the
+# next crawl. Two raw snapshots; month 2 recrawls only doc_id%3 != 0,
+# so the stale set at a June cutoff is exactly the id%3==0 docs with
+# their May timestamps. The oracle predicts the frontier analytically.
+# =====================================================================
+@query(
+    "q98_recrawl_frontier",
+    oracle="""
+    SELECT 'https://' || source || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           source || '.example.com' AS host,
+           CAST(0 AS INTEGER) AS depth,
+           CAST('202405041200'
+                || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS BIGINT)
+             AS last_seen
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def q98_recrawl_frontier(spark, sf_dir):
+    """Stale-capture frontier: latest capture per surt (one groupBy on
+    the index key), cutoff filter, pure-Column frontier projection —
+    stalest-first priority comes out as the numeric timestamp the
+    politeness scheduler orders on."""
+    from ..crawl.recrawl import frontier_from_recrawl, recrawl_candidates
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("com,example,"), F.col("source"), F.lit(")/doc/"),
+                 F.col("doc_id").cast("string")).alias("surt"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0").alias("ss"),
+    )
+    may = d.select(
+        "surt", F.concat(F.lit("202405041200"), F.col("ss")).alias("ts14"), "url"
+    )
+    june = d.filter(F.col("doc_id") % 3 != 0).select(
+        "surt", F.concat(F.lit("202406041200"), F.col("ss")).alias("ts14"), "url"
+    )
+    cands = recrawl_candidates(may.unionByName(june), "20240601000000")
+    fr = frontier_from_recrawl(cands)
+    return fr.select(
+        "url", "host", "depth",
+        F.col("priority").cast("long").alias("last_seen"),
+    )
