@@ -522,3 +522,24 @@ def test_robots_wildcard_matching(spark):
     ).collect()
     for r in got:
         assert r["ok"] == r["expected"], r["path"]
+
+
+def test_parse_robots_crlf_line_endings(spark):
+    """Real robots bodies are commonly CRLF-terminated; a bare-\\n
+    split leaves \\r in every value ('*\\r' never matches the agent,
+    the whole group silently drops). Both parsers split on \\r?\\n."""
+    from web_scraper_spark.crawl.robots import parse_robots, robots_sitemaps
+
+    body = (
+        "User-agent: *\r\n"
+        "Disallow: /private\r\n"
+        "Crawl-delay: 3\r\n"
+        "Sitemap: https://a.x/sitemap.xml\r\n"
+    )
+    df = spark.createDataFrame([("a.x", body)], "host string, robots_txt string")
+    out = parse_robots(df).collect()
+    assert len(out) == 1
+    assert out[0]["disallow"] == ["/private"]
+    assert out[0]["crawl_delay"] == 3.0
+    sm = robots_sitemaps(df).collect()
+    assert [r.sitemap_url for r in sm] == ["https://a.x/sitemap.xml"]

@@ -154,3 +154,34 @@ def test_crawl_extraction_plan_ships_counts_not_carriers(spark):
     )
     assert "clean_html" not in plan and "og_title" not in plan
     assert "token_count" in plan
+
+
+def test_q96_snapshot_merge_single_key_exchange(spark):
+    """CDX snapshot merge: exactly one data exchange, on (surt,
+    digest) — key + seek-triple columns only, never payloads."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q96_cdx_snapshot_merge"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "surt" in plan and "digest_md5" in plan
+
+
+def test_q97_domain_cap_rates_broadcast_back(spark):
+    """Domain balancing: the rate table joins back by broadcast (the
+    corpus is never shuffled for the cap) and the only hash exchanges
+    are the domain-count partial aggs."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q97_domain_cap"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q98_recrawl_exchanges_index_key_only(spark):
+    """Recrawl scheduling: one groupBy exchange on the surt index key;
+    the frontier projection adds no further shuffle."""
+    from web_scraper_spark.plans.queries import QUERIES
+
+    plan = plan_of(QUERIES["q98_recrawl_frontier"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan  # url rides the max struct, no join-back

@@ -251,3 +251,71 @@ def test_merge_cdx_snapshots_revisit_collapse(spark):
         ("example,a)/y", "202405", 1, 1),
         ("example,a)/y", "202406", 1, 2),
     ]
+
+
+def test_archive_self_contained_crawl(spark, tmp_path):
+    """The whole north-star loop from ONE archive: the snapshot
+    supplies its own robots bodies (robots_from_pages), the robots
+    directives name the sitemap, the corpus fetch supplies the sitemap
+    XML (sitemap_seeds_from_robots), the parsed entries seed the
+    frontier, and the same robots rules block disallowed discoveries —
+    no live fetch, no side inputs."""
+    from web_scraper_spark.crawl.robots import parse_robots, robots_from_pages
+    from web_scraper_spark.crawl.rounds import CrawlConfig, run_crawl
+    from web_scraper_spark.crawl.sitemaps import sitemap_seeds_from_robots
+    from web_scraper_spark.sources.warc import pages_from_warc, parse_warc_records
+
+    robots_body = (
+        b"User-agent: *\r\n"  # \r\n survives the line split + trim
+        b"Disallow: /private\n"
+        b"Sitemap: https://a.example/sitemap.xml\n"
+    )
+    sitemap_body = (
+        b'<?xml version="1.0"?><urlset>'
+        b"<url><loc>https://a.example/page1</loc></url>"
+        b"<url><loc>https://a.example/page2</loc></url>"
+        b"</urlset>"
+    )
+    page1 = (
+        b"<html><body><main><p>one</p>"
+        b'<a href="https://a.example/private/secret">s</a>'
+        b'<a href="https://a.example/page3">n</a></main></body></html>'
+    )
+    blob = (
+        _response(b"https://a.example/robots.txt", robots_body)
+        + _response(b"https://a.example/sitemap.xml", sitemap_body)
+        + _response(b"https://a.example/page1", page1)
+        + _response(b"https://a.example/page2", b"<html><body><p>two</p></body></html>")
+        + _response(b"https://a.example/page3", b"<html><body><p>three</p></body></html>")
+        + _response(b"https://a.example/private/secret", b"<html><body><p>x</p></body></html>")
+    )
+    df = spark.createDataFrame([Row(src=1, content=bytearray(blob))])
+    pages = pages_from_warc(
+        parse_warc_records(df, content_col="content", id_col="src")
+    ).persist()
+
+    robots_raw = robots_from_pages(pages)
+    rules = parse_robots(robots_raw)
+    seed_sitemaps = sitemap_seeds_from_robots(robots_raw, pages)
+
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"), quota_per_host=8, max_depth=2, n_shards=4
+    )
+    stats = run_crawl(
+        spark, cfg, pages, robots=rules, seed_urls=None,
+        n_rounds=3, seed_sitemaps=seed_sitemaps,
+    )
+    pages.unpersist()
+    assert stats[0]["scheduled"] == 2          # the two sitemap leaves
+    assert stats[1]["scheduled"] == 1          # page3 only: /private blocked
+    fetched = {
+        r.url
+        for r in spark.read.parquet(
+            *[f"{tmp_path}/ck/round={i}/fetch_log" for i in (0, 1)]
+        ).collect()
+    }
+    assert fetched == {
+        "https://a.example/page1",
+        "https://a.example/page2",
+        "https://a.example/page3",
+    }

@@ -14,7 +14,9 @@ windows (robots bodies are tiny — one row per host — so the window
 groups are line-count sized), everything JVM-side.
 
 RFC 9309 subset implemented (deliberately, and mirrored by the q65
-oracle): comment stripping at '#', stacked consecutive User-agent
+oracle): CRLF or LF line endings (real robots bodies are commonly
+CRLF — a bare-\n split leaves \r in every value and silently drops
+the whole group), comment stripping at '#', stacked consecutive User-agent
 lines form one group, a User-agent line after rules starts a NEW
 group, rules before any User-agent line are ignored, empty
 Disallow/Allow values are ignored, first Crawl-delay in an applicable
@@ -44,7 +46,7 @@ def parse_robots(
     unrestricted)."""
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n", -1)).alias("pos", "raw"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n", -1)).alias("pos", "raw"),
     ).withColumn(
         "line", F.trim(F.element_at(F.split(F.col("raw"), "#", 2), 1))
     )
@@ -127,7 +129,7 @@ def robots_sitemaps(
     """
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n", -1)).alias("pos", "raw"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n", -1)).alias("pos", "raw"),
     ).withColumn(
         "line", F.trim(F.element_at(F.split(F.col("raw"), "#", 2), 1))
     )
@@ -195,3 +197,19 @@ def robots_allowed_wildcard(path, disallow, allow):
         )
 
     return best(allow) >= best(disallow)
+
+
+def robots_from_pages(pages: DataFrame) -> DataFrame:
+    """(host, robots_txt) raw-rules rows from a pages corpus: the rows
+    whose URL path is exactly ``/robots.txt`` ARE the robots bodies —
+    the archive-replay source for :func:`parse_robots` and
+    :func:`robots_sitemaps`, so a Common-Crawl snapshot supplies its
+    own politeness rules and sitemap directives with no live fetch.
+    Pure Column filter + decode (UTF-8 with replacement, the
+    extraction pipeline's decode rule); pushes down to the scan."""
+    return pages.filter(
+        F.parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt"
+    ).select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.decode(F.col("html"), "UTF-8").alias("robots_txt"),
+    )
