@@ -319,3 +319,16 @@ def test_archive_self_contained_crawl(spark, tmp_path):
         "https://a.example/page2",
         "https://a.example/page3",
     }
+
+
+def test_gzip_member_per_record_layout():
+    """Common Crawl stores segments as CONCATENATED gzip members, one
+    per record — one decompress call must yield the whole stream."""
+    r1 = _response(b"https://a.example/1", b"<p>one</p>")
+    r2 = _response(b"https://a.example/2", b"<p>two</p>")
+    blob = gzip.compress(r1) + gzip.compress(r2)  # two members
+    recs = list(_iter_warc_records(blob))
+    assert [r[1][b"warc-target-uri"] for r in recs] == [
+        b"https://a.example/1",
+        b"https://a.example/2",
+    ]
