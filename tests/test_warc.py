@@ -332,3 +332,40 @@ def test_gzip_member_per_record_layout():
         b"https://a.example/1",
         b"https://a.example/2",
     ]
+
+
+def test_write_warc_dir_round_trips_bodies(spark, tmp_path):
+    """Curated-subset export: pages → WARC segments (one gzip member
+    per record) → read back → byte-identical bodies per url."""
+    from web_scraper_spark.sources.warc import (
+        pages_from_warc,
+        read_warc_dir,
+        write_warc_dir,
+    )
+
+    src = spark.createDataFrame(
+        [
+            ("https://a.example/1", "2024-05-04 12:00:00", b"<p>one \xe2\x9c\x93</p>"),
+            ("https://a.example/2", "2024-05-04 12:00:01", b"<p>two</p>"),
+            ("https://b.example/9", None, b"<p>nine</p>"),
+        ],
+        "url string, ts string, html binary",
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"), "html")
+    out = str(tmp_path / "export")
+    manifest = write_warc_dir(src.repartition(2, "url"), out).collect()
+    assert sum(m.n_records for m in manifest) == 3
+    assert all(m.path.endswith(".warc.gz") for m in manifest)
+
+    back = pages_from_warc(read_warc_dir(spark, out))
+    got = {
+        r.url: bytes(r.html)
+        for r in back.select("url", "html").collect()
+    }
+    assert got == {
+        "https://a.example/1": b"<p>one \xe2\x9c\x93</p>",
+        "https://a.example/2": b"<p>two</p>",
+        "https://b.example/9": b"<p>nine</p>",
+    }
+    # null warc_ts exported with the epoch sentinel, parses back
+    ts = {r.url: r.warc_ts for r in back.collect()}
+    assert ts["https://b.example/9"] is not None

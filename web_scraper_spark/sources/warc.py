@@ -253,3 +253,79 @@ def merge_cdx_snapshots(cdx: DataFrame) -> DataFrame:
             "n_captures",
         )
     )
+
+
+def write_warc_dir(
+    pages: DataFrame,
+    out_dir: str,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """The write side of the archive seam: a pages table (url,
+    warc_ts, html) exports as WARC segment files — one segment per
+    partition, one gzip member per record (the Common-Crawl layout
+    read_warc_dir and every CC consumer expect). This is how a
+    curated subset ships: filter/dedup/cap with the engine's
+    operators, then re-shard to archive files.
+
+    Each executor task streams its partition into
+    ``seg-{partition:05d}.warc[.gz]`` under ``out_dir`` (at cluster
+    scale ``out_dir`` is a mounted object store — the task-local write
+    is the standard pattern) and emits one manifest row (path,
+    n_records, n_bytes). Repartition deterministically upstream (e.g.
+    by url hash) if segment contents must be reproducible. A minimal
+    ``HTTP/1.1 200 OK`` head is synthesized around the stored body —
+    the engine's pages shape keeps payload bytes, not response heads
+    (documented lossy half of the round trip; bodies round-trip
+    byte-exactly, pinned by test). Returns the manifest DataFrame —
+    an ACTION is still needed to run the export."""
+    import os as _os
+    from typing import Iterator as _It
+
+    import pandas as _pd
+    from pyspark import TaskContext
+
+    _os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def dump(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"seg-{pid:05d}{ext}")
+        n_rec = n_bytes = 0
+        fh = None
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                if html is None:
+                    continue
+                if fh is None:  # empty partitions write no file
+                    fh = open(path, "wb")
+                body = bytes(html)
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body
+                )
+                date = (
+                    "1970-01-01T00:00:00Z"
+                    if _pd.isna(ts)  # arrives as NaT, not None
+                    else ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                )
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    b"WARC-Target-URI: " + str(url).encode("utf-8") + b"\r\n"
+                    b"WARC-Date: " + date.encode() + b"\r\n"
+                    b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+                    b"\r\n" + http + b"\r\n\r\n"
+                )
+                out = gzip.compress(rec) if gzip_records else rec
+                fh.write(out)
+                n_rec += 1
+                n_bytes += len(out)
+        if fh is not None:
+            fh.close()
+            yield _pd.DataFrame(
+                {"path": [path], "n_records": [n_rec], "n_bytes": [n_bytes]}
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        dump, schema="path string, n_records long, n_bytes long"
+    )
