@@ -369,3 +369,67 @@ def test_write_warc_dir_round_trips_bodies(spark, tmp_path):
     # null warc_ts exported with the epoch sentinel, parses back
     ts = {r.url: r.warc_ts for r in back.collect()}
     assert ts["https://b.example/9"] is not None
+
+
+def test_wet_round_trip_and_conversion_records(spark, tmp_path):
+    """WET derivation + export: wet_from_pages extracts text; the
+    written segments are WARC-Type: conversion records whose payloads
+    round-trip byte-exactly through the same Content-Length parser
+    that reads response segments."""
+    import os
+
+    from web_scraper_spark.sources.warc import (
+        read_warc_dir,
+        wet_from_pages,
+        write_wet_dir,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://h{i}.example/p{i}",
+             f"<html><head><title>t{i}</title></head>"
+             f"<body><p>body {i} text</p></body></html>")
+            for i in range(8)
+        ],
+        "url string, html string",
+    )
+    wet = wet_from_pages(pages)
+    rows = {r["url"]: r for r in wet.collect()}
+    assert rows["https://h3.example/p3"]["text"] == "t3 body 3 text"
+    for r in rows.values():
+        assert r["text_chars"] == len(r["text"])
+
+    out = str(tmp_path / "wet")
+    manifest = write_wet_dir(wet.repartition(2, "url"), out).collect()
+    assert sum(m["n_records"] for m in manifest) == 8
+    back = read_warc_dir(spark, out, glob="*.wet.gz")
+    got = {
+        r["target_uri"]: bytes(r["payload"]).decode("utf-8")
+        for r in back.filter(back.warc_type == "conversion").collect()
+    }
+    assert got == {u: r["text"] for u, r in rows.items()}
+
+
+def test_wat_links_resolution(spark):
+    """WAT metadata: relative hrefs absolutize against the page url,
+    document order is preserved, counts match."""
+    from web_scraper_spark.sources.warc import wat_from_pages
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/dir/page",
+             '<html><head><title>T</title></head><body>'
+             '<a href="/abs">1</a><a href="rel">2</a>'
+             '<a href="https://b.example/x#frag">3</a>'
+             '<img src="/i.png"/></body></html>')
+        ],
+        "url string, html string",
+    )
+    r = wat_from_pages(pages).collect()[0]
+    assert r["title"] == "T"
+    assert r["links"] == [
+        "https://a.example/abs",
+        "https://a.example/dir/rel",
+        "https://b.example/x",
+    ]
+    assert r["n_links"] == 3 and r["n_images"] == 1

@@ -147,6 +147,11 @@ class BloomShard:
         return out
 
     def merge(self, other: "BloomShard") -> "BloomShard":
+        if not isinstance(other, BloomShard):
+            raise ValueError(
+                f"cannot merge a Bloom shard with {type(other).__name__} — "
+                "sketch families don't mix within one shard table"
+            )
         if (self.n_bits, self.n_hashes) != (other.n_bits, other.n_hashes):
             raise ValueError("incompatible shard geometry")
         if FAMILY_NONE not in (self.family, other.family) and self.family != other.family:

@@ -21,6 +21,17 @@ from pyspark.sql import types as T
 
 from ..functions import columns as C
 from .bloom import BloomShard
+from .cuckoo import CuckooShard
+
+
+def sketch_from_bytes(raw: bytes):
+    """Deserialize a seen-sketch shard of either family — persisted
+    payloads are self-describing (Bloom magic ``BS``, cuckoo ``CK``),
+    so probe/merge dispatch on the bytes and a crawl can resume with
+    whichever sketch kind built its checkpoint."""
+    if raw[:2] == b"CK":
+        return CuckooShard.from_bytes(raw)
+    return BloomShard.from_bytes(raw)
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -124,12 +135,20 @@ def build_seen_shards(
     round_id: int,
     expected_per_shard: int = 1 << 16,
     fp_rate: float = 1e-4,
+    sketch_kind: str = "bloom",
 ) -> DataFrame:
-    """Build Bloom shards from a url column: one shuffle on shard_id,
-    one shard row per group (A9). Deterministic for a given row set —
-    idempotent on re-run (OR of the same bits). Hashing happens in the
-    JVM (:func:`_bloom_hash_cols`); the Python group op is a single
-    vectorized numpy bit-set pass per shard."""
+    """Build seen-sketch shards from a url column: one shuffle on
+    shard_id, one shard row per group (A9). Deterministic for a given
+    row set — idempotent on re-run (Bloom: OR of the same bits;
+    cuckoo: canonical-order insert + membership pre-check). Hashing
+    happens in the JVM (:func:`_bloom_hash_cols`); the Python group op
+    is a single vectorized numpy pass per shard.
+
+    ``sketch_kind``: ``"bloom"`` (default — smallest bits/item) or
+    ``"cuckoo"`` (deletable — required for recrawl's forget path,
+    crawl/cuckoo.py)."""
+    if sketch_kind not in ("bloom", "cuckoo"):
+        raise ValueError(f"unknown sketch_kind {sketch_kind!r}")
     url_col = urls.columns[0]
     sh, h1, h2 = _bloom_hash_cols(F.col(url_col))
     with_shard = urls.select(
@@ -139,7 +158,10 @@ def build_seen_shards(
     )
 
     def build(key, pdf):  # no hints: future-annotations stringifies them and pandas group-ops warns
-        shard = BloomShard.sized_for(expected_per_shard, fp_rate)
+        if sketch_kind == "cuckoo":
+            shard = CuckooShard.sized_for(expected_per_shard, fp_rate)
+        else:
+            shard = BloomShard.sized_for(expected_per_shard, fp_rate)
         shard.add_many_i64(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
         return pd.DataFrame(
             [
@@ -156,13 +178,21 @@ def build_seen_shards(
 
 
 def merge_shard_tables(shards: DataFrame) -> DataFrame:
-    """OR-merge shard rows across rounds: groupBy shard_id, fold
-    sketches. Small data (n_shards rows after merge)."""
+    """Merge shard rows across rounds: groupBy shard_id, fold
+    sketches (Bloom: bitwise OR; cuckoo: fingerprint re-insertion —
+    dispatched per payload by :func:`sketch_from_bytes`). Small data
+    (n_shards rows after merge). The fold order is pinned by sorting
+    the group — Bloom OR is commutative but a cuckoo table's bytes
+    depend on insert order, and checkpointed state must be
+    byte-deterministic for a given row set."""
 
     def merge(key, pdf):
-        acc: BloomShard | None = None
+        pdf = pdf.sort_values(
+            ["round_id", "n_items", "sketch"], kind="stable", ignore_index=True
+        )
+        acc = None
         for raw in pdf["sketch"]:
-            s = BloomShard.from_bytes(bytes(raw))
+            s = sketch_from_bytes(bytes(raw))
             acc = s if acc is None else acc.merge(s)
         return pd.DataFrame(
             [
@@ -176,6 +206,72 @@ def merge_shard_tables(shards: DataFrame) -> DataFrame:
         )
 
     return shards.groupBy("shard_id").applyInPandas(merge, SEEN_SHARD_SCHEMA)
+
+
+def forget_seen_urls(
+    seen_shards: DataFrame,
+    urls: DataFrame,
+    n_shards: int,
+) -> DataFrame:
+    """Delete URLs from a **cuckoo** seen-sketch table — the recrawl
+    primitive: stale captures elected from the CDX index
+    (crawl/recrawl.py) are forgotten here, so the next round's
+    probe_seen treats them as new and the frontier re-fetches them.
+    Bloom shards cannot delete; feeding them here raises (switch the
+    crawl to ``CrawlConfig(sketch_kind="cuckoo")``).
+
+    Scale shape: the url side hashes JVM-side and shuffles ONCE on
+    shard_id; a cogrouped ``applyInPandas`` pairs each shard row with
+    exactly its urls — no broadcast, no driver collect, so a
+    10^8-URL forget set is one co-partitioned pass. Shards without
+    matching urls pass through unchanged (and vice-versa, urls whose
+    shard has no blob are no-ops)."""
+    url_col = urls.columns[0]
+    sh, h1, h2 = _bloom_hash_cols(F.col(url_col))
+    keyed = urls.select(
+        F.pmod(sh, F.lit(n_shards)).cast("int").alias("shard_id"),
+        h1.alias("h1"),
+        h2.alias("h2"),
+    )
+
+    def drop(key, shard_pdf, url_pdf):
+        if shard_pdf.empty:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in SEEN_SHARD_SCHEMA.fields}
+            )
+        if len(shard_pdf) > 1:
+            raise ValueError(
+                f"forget_seen_urls: shard {int(key[0])} has "
+                f"{len(shard_pdf)} rows — merge_shard_tables first"
+            )
+        row = shard_pdf.iloc[0]
+        sk = sketch_from_bytes(bytes(row["sketch"]))
+        if not hasattr(sk, "delete_many_i64"):
+            raise ValueError(
+                "forget_seen_urls needs a deletable sketch (cuckoo) but "
+                "this shard is a Bloom filter — crawls that recrawl must "
+                'run with CrawlConfig(sketch_kind="cuckoo")'
+            )
+        if not url_pdf.empty:
+            sk.delete_many_i64(
+                url_pdf["h1"].to_numpy(), url_pdf["h2"].to_numpy()
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": int(row["shard_id"]),
+                    "round_id": int(row["round_id"]),
+                    "sketch": sk.to_bytes(),
+                    "n_items": sk.n_items,
+                }
+            ]
+        )
+
+    return (
+        seen_shards.groupby("shard_id")
+        .cogroup(keyed.groupby("shard_id"))
+        .applyInPandas(drop, SEEN_SHARD_SCHEMA)
+    )
 
 
 def probe_seen(
@@ -249,7 +345,7 @@ def probe_seen(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        shards = {sid: BloomShard.from_bytes(raw) for sid, raw in bc.value.items()}
+        shards = {sid: sketch_from_bytes(raw) for sid, raw in bc.value.items()}
         for pdf in batches:
             sid = pdf["_shard"].to_numpy()
             hh1 = pdf["_h1"].to_numpy()

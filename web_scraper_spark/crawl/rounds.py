@@ -57,6 +57,12 @@ class CrawlConfig:
     ignore_patterns: list[str] = field(default_factory=list)
     expected_per_shard: int = 1 << 16
     fp_rate: float = 1e-4
+    # URL-seen sketch family: "bloom" (default, fewest bits/item) or
+    # "cuckoo" (deletable — a crawl that will serve recrawl scheduling
+    # must pick cuckoo so forget_seen_urls can reopen stale URLs).
+    # Persisted shards are self-describing; resume keeps whichever
+    # family built the checkpoint.
+    sketch_kind: str = "bloom"
     # state tables are small relative to results; coalesce their writes
     # to avoid 1-row-per-task file storms (None = leave partitioning to
     # AQE — the right setting on a real cluster with large rounds)
@@ -365,7 +371,8 @@ def run_round(
                 fh.write("")
 
     new_shards = build_seen_shards(
-        scheduled_urls, cfg.n_shards, round_id, cfg.expected_per_shard, cfg.fp_rate
+        scheduled_urls, cfg.n_shards, round_id, cfg.expected_per_shard, cfg.fp_rate,
+        sketch_kind=cfg.sketch_kind,
     )
     all_shards = new_shards if shards is None else merge_shard_tables(shards.unionByName(new_shards))
     _write(all_shards, os.path.join(rdir, "shards"), cfg.state_write_partitions)

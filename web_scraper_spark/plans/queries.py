@@ -3468,3 +3468,102 @@ def q98_recrawl_frontier(spark, sf_dir):
         "url", "host", "depth",
         F.col("priority").cast("long").alias("last_seen"),
     )
+
+
+# =====================================================================
+# Common Crawl's derived formats over the archive seam: WET (extracted
+# text conversion records) and WAT (per-page metadata). Same closed-
+# form wrap trick as q50 — the synthetic corpus has no markup-special
+# characters, so every extraction product the records carry is a SQL
+# expression the oracle recomputes independently.
+# =====================================================================
+@query(
+    "q99_wet_conversion",
+    oracle="""
+    SELECT 'https://' || source || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' ' || source || ' ' || text
+             AS text,
+           CAST(length('doc ' || CAST(doc_id AS VARCHAR) || ' ' || source
+                       || ' ' || text) AS BIGINT) AS text_chars,
+           md5('doc ' || CAST(doc_id AS VARCHAR) || ' ' || source || ' '
+               || text) AS digest_md5
+    FROM documents
+    """,
+)
+def q99_wet_conversion(spark, sf_dir):
+    """WET derivation (sources/warc.py:wet_from_pages): pages wrap →
+    pruned extraction (text-only Arrow return) → conversion-record
+    fields. The oracle recomputes the extracted text closed-form from
+    the wrap, so a drifting extraction engine OR a wrong field
+    derivation both hash-fail. Scale shape: the extraction scan is the
+    whole plan — zero shuffles."""
+    from ..sources.warc import wet_from_pages
+
+    d = _load(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><main><h1>"), F.col("source"),
+            F.lit("</h1><p>"), F.col("text"), F.lit("</p></main></body></html>"),
+        ).alias("html"),
+    )
+    w = wet_from_pages(pages)
+    return w.select(
+        "url", "text", F.col("text_chars").cast("long").alias("text_chars"),
+        "digest_md5",
+    )
+
+
+@query(
+    "q100_wat_links",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents)
+    SELECT url, 'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(2 AS INTEGER) AS n_links, CAST(0 AS INTEGER) AS pos,
+           'https://' || source || '.example.com/l/'
+             || CAST(doc_id % 7 AS VARCHAR) AS link
+    FROM base
+    UNION ALL
+    SELECT url, 'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(2 AS INTEGER) AS n_links, CAST(1 AS INTEGER) AS pos,
+           'https://ext.example.org/p/' || CAST(doc_id % 5 AS VARCHAR) AS link
+    FROM base
+    """,
+)
+def q100_wat_links(spark, sf_dir):
+    """WAT derivation (sources/warc.py:wat_from_pages): pages with one
+    relative and one absolute anchor → typed metadata rows; posexplode
+    of the resolved outlinks pins BOTH the urljoin absolutization and
+    document order. The relative href resolves against the page url —
+    the same resolution the crawl's discovery path trusts."""
+    from ..sources.warc import wat_from_pages
+
+    d = _load(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+            F.lit('</title></head><body><a href="/l/'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">x</a><a href="https://ext.example.org/p/'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">y</a><p>'), F.col("text"), F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    w = wat_from_pages(pages)
+    return w.select(
+        "url", "title", "n_links",
+        F.posexplode("links").alias("pos", "link"),
+    )

@@ -255,6 +255,114 @@ def merge_cdx_snapshots(cdx: DataFrame) -> DataFrame:
     )
 
 
+def wet_from_pages(pages: DataFrame) -> DataFrame:
+    """Pages → WET-style conversion rows, Common Crawl's derived
+    text format (one ``WARC-Type: conversion`` record per page whose
+    payload is the extracted plain text). The extraction engine runs
+    once (text product only — the pruned Arrow path, nothing
+    page-sized crosses back), then pure Column work derives the
+    record fields: ``(url, warc_ts, text, text_chars, digest_md5)``.
+    ``digest_md5`` is the repo hash idiom standing in for WET's
+    block digest. Serialize with :func:`write_wet_dir`; scale shape
+    is the extraction scan itself — no shuffle."""
+    from ..functions.udfs import extract_pages
+
+    ex = extract_pages(pages, products=("text",))
+    return ex.select(
+        "url",
+        *(["warc_ts"] if "warc_ts" in pages.columns else []),
+        "text",
+        F.length("text").alias("text_chars"),
+        F.md5("text").alias("digest_md5"),
+    )
+
+
+def wat_from_pages(pages: DataFrame) -> DataFrame:
+    """Pages → WAT-style metadata rows — Common Crawl's envelope
+    format (per-page metadata: title, outlinks, sizes) as a TYPED
+    table rather than nested JSON: the Spark-native form downstream
+    joins/aggregations actually want (the JSON envelope is a
+    serialization detail, not a data model). One pruned extraction
+    pass ships title + resolved links + image count; link targets are
+    absolutized against the page url by the engine's urljoin (the
+    same resolution the crawl's discovery path uses)."""
+    from ..functions.udfs import extract_pages
+
+    ex = extract_pages(pages, products=("title", "links", "n_images"))
+    return ex.select(
+        "url",
+        *(["warc_ts"] if "warc_ts" in pages.columns else []),
+        "title",
+        F.col("links").alias("links"),
+        F.size("links").alias("n_links"),
+        "n_images",
+    )
+
+
+def write_wet_dir(
+    wet: DataFrame,
+    out_dir: str,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Serialize :func:`wet_from_pages` rows as WET segment files —
+    ``WARC-Type: conversion`` records, one gzip member per record,
+    mirroring :func:`write_warc_dir`'s layout so the same
+    :func:`read_warc_dir` → filter(warc_type='conversion') path reads
+    them back (round-trip pinned by test). Returns the manifest
+    DataFrame (path, n_records, n_bytes); an action runs the export."""
+    import os as _os
+    from typing import Iterator as _It
+
+    import pandas as _pd
+    from pyspark import TaskContext
+
+    _os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if gzip_records else ".warc.wet"
+    has_ts = "warc_ts" in wet.columns
+    cols = ["url", "text"] + (["warc_ts"] if has_ts else [])
+
+    def dump(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"seg-{pid:05d}{ext}")
+        n_rec = n_bytes = 0
+        fh = None
+        for pdf in batches:
+            ts_col = pdf["warc_ts"] if has_ts else [None] * len(pdf)
+            for url, text, ts in zip(pdf["url"], pdf["text"], ts_col):
+                if text is None:
+                    continue
+                if fh is None:
+                    fh = open(path, "wb")
+                body = str(text).encode("utf-8")
+                date = (
+                    "1970-01-01T00:00:00Z"
+                    if ts is None or _pd.isna(ts)
+                    else ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                )
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: conversion\r\n"
+                    b"WARC-Target-URI: " + str(url).encode("utf-8") + b"\r\n"
+                    b"WARC-Date: " + date.encode() + b"\r\n"
+                    b"Content-Type: text/plain\r\n"
+                    b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+                    b"\r\n" + body + b"\r\n\r\n"
+                )
+                out = gzip.compress(rec) if gzip_records else rec
+                fh.write(out)
+                n_rec += 1
+                n_bytes += len(out)
+        if fh is not None:
+            fh.close()
+            yield _pd.DataFrame(
+                {"path": [path], "n_records": [n_rec], "n_bytes": [n_bytes]}
+            )
+
+    return wet.select(*cols).mapInPandas(
+        dump, schema="path string, n_records long, n_bytes long"
+    )
+
+
 def write_warc_dir(
     pages: DataFrame,
     out_dir: str,
