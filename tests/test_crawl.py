@@ -505,3 +505,58 @@ def test_recrawl_seeds_frontier_and_crawls_stale_pages(spark, tmp_path):
         n_rounds=1, seed_frontier=seeds,
     )
     assert stats[0]["scheduled"] == 1 and stats[0]["fetched"] == 1
+
+
+def test_adaptive_delay_state_and_fallback(spark, tmp_path):
+    """AIMD politeness wired into the round loop: a seed whose host
+    has no corpus pages fails its fetch and backs off (1000 -> 2000);
+    healthy hosts recover toward the floor (1000 -> 750); round 1
+    schedules healthy-host rows with the adapted budget where robots
+    is silent; an unfetched host keeps its delay."""
+    import os
+
+    from web_scraper_spark.crawl.rounds import CrawlConfig, run_crawl
+
+    pages = pages_df(spark, N_PAGES)
+    seeds = [url_for(0), url_for(1), "https://missing.example.com/x"]
+    cfg = CrawlConfig(
+        ckpt_dir=str(tmp_path / "ck"), quota_per_host=8, max_depth=2,
+        n_shards=4, adaptive_delay=True,
+    )
+    run_crawl(spark, cfg, pages, None, seeds, n_rounds=2)
+
+    d0 = {
+        r["host"]: r["delay_ms"]
+        for r in spark.read.parquet(
+            os.path.join(cfg.ckpt_dir, "round=0", "host_delay")
+        ).collect()
+    }
+    assert d0["missing.example.com"] == 2000  # backoff: 1000 * 2
+    assert d0["site0.example.com"] == 750     # recover: 1000 - 250
+
+    # round 1: healthy hosts schedule with the adapted 750ms budget
+    sched = spark.read.parquet(
+        os.path.join(cfg.ckpt_dir, "round=1", "fetch_log")
+    )
+    assert sched.count() > 0
+    d1 = {
+        r["host"]: r["delay_ms"]
+        for r in spark.read.parquet(
+            os.path.join(cfg.ckpt_dir, "round=1", "host_delay")
+        ).collect()
+    }
+    # the missing host discovered no links -> unfetched in round 1 ->
+    # keeps its backed-off budget
+    assert d1["missing.example.com"] == 2000
+    # round 1 schedules site0's discovered /home link, which has no
+    # corpus page -> 1/1 failed -> the recovered 750 backs off to 1500
+    assert d1["site0.example.com"] == 1500
+
+    # the schedule actually spaced fetches by the adapted budget:
+    # round-1 site0 offsets step by 750ms
+    offs = sorted(
+        r["scheduled_offset_ms"]
+        for r in sched.filter(F.col("host") == "site0.example.com").collect()
+    )
+    steps = {b - a for a, b in zip(offs, offs[1:])}
+    assert steps == {750} or steps == set()

@@ -33,6 +33,75 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+HOST_DELAY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("delay_ms", T.LongType(), False),
+    ]
+)
+
+
+def update_host_delays(
+    host_stats: DataFrame,
+    prev_delays: DataFrame | None,
+    default_delay_ms: int = 1000,
+    min_delay_ms: int = 250,
+    max_delay_ms: int = 60_000,
+    err_rate_backoff: float = 0.1,
+    backoff_mult: int = 2,
+    recover_step_ms: int = 250,
+) -> DataFrame:
+    """AIMD adaptive per-host crawl delay — what a production crawler
+    does for the (majority of) hosts whose robots.txt declares no
+    Crawl-delay: back off multiplicatively when a host shows fetch
+    errors, recover additively while it stays healthy (the TCP
+    congestion-control shape, used by Heritrix/BUbiNG-style fetchers).
+
+    ``host_stats``: (host, n_ok, n_err) — one row per host fetched
+    this round (run_round derives it from the fetch ledger's
+    ``fetch_status``). ``prev_delays``: (host, delay_ms) carry-over
+    state, or None on round 0.
+
+    Per-host update, all pure integer Column arithmetic (deterministic
+    at any parallelism):
+
+        err_rate > err_rate_backoff → delay · backoff_mult, ≤ max
+        otherwise                   → delay − recover_step, ≥ min
+
+    Hosts in ``prev_delays`` but absent from this round's stats KEEP
+    their delay (full outer join) — an unfetched host's budget must
+    not silently decay while the crawler isn't even visiting it.
+    Scale shape: one host-keyed outer join of two host-level tables
+    (both orders of magnitude smaller than the frontier), nothing
+    wider than (host, three longs) shuffles."""
+    stats = host_stats.select(
+        "host",
+        F.col("n_ok").cast("long").alias("n_ok"),
+        F.col("n_err").cast("long").alias("n_err"),
+    )
+    if prev_delays is None:
+        joined = stats.withColumn("delay_ms", F.lit(None).cast("long"))
+    else:
+        joined = stats.join(
+            prev_delays.select("host", "delay_ms"), "host", "full_outer"
+        )
+    cur = F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+    total = F.coalesce(F.col("n_ok"), F.lit(0)) + F.coalesce(F.col("n_err"), F.lit(0))
+    # integer-exact error-rate test: n_err/total > rate ⇔ n_err·10^6 >
+    # rate_ppm·total (no float division — engine-portable and immune
+    # to fp rounding at any host volume)
+    rate_ppm = int(err_rate_backoff * 1_000_000)
+    backoff = F.coalesce(F.col("n_err"), F.lit(0)) * 1_000_000 > F.lit(rate_ppm) * total
+    updated = (
+        F.when(total == 0, cur)  # unfetched host: keep
+        .when(backoff, F.least(cur * backoff_mult, F.lit(max_delay_ms)))
+        .otherwise(F.greatest(cur - recover_step_ms, F.lit(min_delay_ms)))
+    )
+    return joined.select(
+        "host", updated.cast("long").alias("delay_ms")
+    )
+
+
 SCHEDULE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

@@ -63,6 +63,15 @@ class CrawlConfig:
     # Persisted shards are self-describing; resume keeps whichever
     # family built the checkpoint.
     sketch_kind: str = "bloom"
+    # AIMD adaptive per-host crawl delay (politeness.py:
+    # update_host_delays): hosts with fetch errors back off
+    # multiplicatively, healthy hosts recover additively toward the
+    # min. Fills in ONLY where robots declares no Crawl-delay. State
+    # rides the round checkpoint (round=N/host_delay) — resumable like
+    # every other table.
+    adaptive_delay: bool = False
+    adaptive_min_delay_ms: int = 250
+    adaptive_max_delay_ms: int = 60_000
     # state tables are small relative to results; coalesce their writes
     # to avoid 1-row-per-task file storms (None = leave partitioning to
     # AQE — the right setting on a real cluster with large rounds)
@@ -252,6 +261,25 @@ def run_round(
     sched_in = fresh.select(
         "url", "host", "depth", "priority", "seq", delay_col.alias("crawl_delay_ms")
     )
+    host_delays = (
+        _read(spark, os.path.join(prev, "host_delay"))
+        if cfg.adaptive_delay
+        else None
+    )
+    if host_delays is not None:
+        # robots-declared delay stays authoritative; the AIMD budget
+        # fills in for the (vast majority of) hosts robots is silent
+        # about. Host-level table — broadcast onto the candidates.
+        sched_in = (
+            sched_in.join(
+                F.broadcast(host_delays.select("host", "delay_ms")), "host", "left"
+            )
+            .withColumn(
+                "crawl_delay_ms",
+                F.coalesce(F.col("crawl_delay_ms"), F.col("delay_ms")),
+            )
+            .drop("delay_ms")
+        )
     host_rank = (
         read_host_rank(spark, cfg, round_id - 1)
         if cfg.authority_every is not None
@@ -323,6 +351,29 @@ def run_round(
         "fetch_status", F.lit(round_id).alias("round_id"),
     ).observe(obs_sched, F.count(F.lit(1)).alias("n"))
     _write(fetch_log, os.path.join(rdir, "fetch_log"), cfg.state_write_partitions)
+
+    if cfg.adaptive_delay:
+        # AIMD politeness state: per-host ok/err counts from THIS
+        # round's fetch ledger update the carry-over delay table
+        # (politeness.py:update_host_delays). Host-level agg over the
+        # already-persisted fetch output — one small host-keyed
+        # shuffle, no extra scan of pages.
+        from .politeness import update_host_delays
+
+        host_stats = fetched.groupBy("host").agg(
+            F.count(F.when(F.col("fetch_status") == "fetched", 1)).alias("n_ok"),
+            F.count(F.when(F.col("fetch_status") != "fetched", 1)).alias("n_err"),
+        )
+        new_delays = update_host_delays(
+            host_stats,
+            host_delays,
+            default_delay_ms=cfg.default_delay_ms,
+            min_delay_ms=cfg.adaptive_min_delay_ms,
+            max_delay_ms=cfg.adaptive_max_delay_ms,
+        )
+        _write(
+            new_delays, os.path.join(rdir, "host_delay"), cfg.state_write_partitions
+        )
 
     # -- results + metrics ---------------------------------------------
     results = extracted.select(

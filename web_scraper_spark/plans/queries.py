@@ -3567,3 +3567,69 @@ def q100_wat_links(spark, sf_dir):
         "url", "title", "n_links",
         F.posexplode("links").alias("pos", "link"),
     )
+
+
+@query(
+    "q101_adaptive_delay",
+    oracle="""
+    WITH stats AS (
+      SELECT source || '.example.com' AS host,
+             count(*) FILTER (WHERE NOT (doc_id % 7 = 0
+                 AND CAST(substr(source, 4) AS INT) % 3 = 0)) AS n_ok,
+             count(*) FILTER (WHERE doc_id % 7 = 0
+                 AND CAST(substr(source, 4) AS INT) % 3 = 0) AS n_err
+      FROM documents GROUP BY source),
+    prev AS (
+      SELECT DISTINCT source || '.example.com' AS host,
+             CAST(4000 AS BIGINT) AS delay_ms
+      FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+      UNION ALL SELECT 'ghost.example.com', CAST(7777 AS BIGINT)),
+    j AS (
+      SELECT coalesce(s.host, p.host) AS host, s.n_ok, s.n_err, p.delay_ms
+      FROM stats s FULL OUTER JOIN prev p ON s.host = p.host)
+    SELECT host,
+      CAST(CASE
+        WHEN coalesce(n_ok, 0) + coalesce(n_err, 0) = 0
+          THEN coalesce(delay_ms, 1000)
+        WHEN coalesce(n_err, 0) * 1000000
+             > 100000 * (coalesce(n_ok, 0) + coalesce(n_err, 0))
+          THEN least(coalesce(delay_ms, 1000) * 2, 60000)
+        ELSE greatest(coalesce(delay_ms, 1000) - 250, 250)
+      END AS BIGINT) AS delay_ms
+    FROM j
+    """,
+)
+def q101_adaptive_delay(spark, sf_dir):
+    """AIMD politeness update (crawl/politeness.py:update_host_delays):
+    per-host fetch outcomes synthesized from documents (every-7th doc
+    errors on every-3rd source ⇒ ~14% error rate > the 10% backoff
+    threshold), half the hosts carry a prior 4000 ms budget, one
+    ghost host has state but no fetches. Covers all three branches —
+    multiplicative backoff, additive recovery with the floor clamp,
+    and keep-on-unfetched — against a SQL replay of the integer
+    arithmetic. Scale shape: one host-keyed outer join of two
+    host-level tables."""
+    from ..crawl.politeness import update_host_delays
+
+    d = _load(spark, sf_dir, "documents")
+    err = (F.col("doc_id") % 7 == 0) & (
+        F.substring("source", 4, 10).cast("int") % 3 == 0
+    )
+    stats = d.groupBy(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).agg(
+        F.count(F.when(~err, 1)).alias("n_ok"),
+        F.count(F.when(err, 1)).alias("n_err"),
+    )
+    prev = (
+        d.filter(F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+        .distinct()
+        .withColumn("delay_ms", F.lit(4000).cast("long"))
+        .unionByName(
+            spark.createDataFrame(
+                [("ghost.example.com", 7777)], "host string, delay_ms long"
+            )
+        )
+    )
+    return update_host_delays(stats, prev)
