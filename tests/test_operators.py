@@ -73,6 +73,88 @@ def test_lsh_recall_against_exact(spark):
     assert via_lsh <= exact  # LSH-verified pairs are always true pairs
 
 
+def test_incremental_dedup_against_index(spark, tmp_path):
+    """dedup_against_index semantics pinned without replaying the hash
+    family: exact copies of old docs are flagged with the SMALLEST
+    matching old id, disjoint-vocab docs come back novel (-1), and the
+    result is identical whether the index + signature table are used
+    in-memory or round-tripped through parquet (the persisted-artifact
+    property the operator exists for)."""
+    from web_scraper_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_band_index,
+        minhash_signature,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon"),
+            (4, "alpha beta gamma delta epsilon"),  # same text as 2
+            (6, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "alpha beta gamma delta epsilon"),  # copy → match min(2,4)=2
+            (13, "zeta eta theta iota kappa"),       # copy of 6
+            (15, "one two three four five"),          # disjoint → novel
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(old, "text", "doc_id", num_hashes=16, bands=8)
+    sigs = old.select(
+        F.col("doc_id").alias("id"),
+        minhash_signature(F.col("text"), 16).alias("sig"),
+    )
+    expect = {(11, True, 2), (13, True, 6), (15, False, -1)}
+
+    def run(ix, sg):
+        return {
+            (r["id"], r["is_dup"], r["first_match"])
+            for r in dedup_against_index(
+                new, ix, "text", "doc_id", num_hashes=16, bands=8,
+                old_sigs=sg, min_agree=8,
+            ).collect()
+        }
+
+    assert run(index, sigs) == expect
+    # the index is a persistable artifact: parquet round-trip changes nothing
+    index.write.parquet(str(tmp_path / "ix"))
+    sigs.write.parquet(str(tmp_path / "sg"))
+    assert run(
+        spark.read.parquet(str(tmp_path / "ix")),
+        spark.read.parquet(str(tmp_path / "sg")),
+    ) == expect
+
+
+def test_incremental_dedup_hot_bucket_guard(spark):
+    """A degenerate index (every old doc identical → one bucket per
+    band holding the whole corpus) must not fan out: with
+    max_bucket_size below the bucket size the hot buckets are dropped
+    and an identical new doc comes back novel — the guarded failure
+    mode, never a quadratic join."""
+    from web_scraper_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_band_index,
+    )
+
+    old = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "same boilerplate text everywhere")], "doc_id long, text string"
+    )
+    index = minhash_band_index(old, "text", "doc_id", num_hashes=16, bands=8)
+    out = dedup_against_index(
+        new, index, "text", "doc_id", num_hashes=16, bands=8, max_bucket_size=5
+    ).collect()
+    assert [(r["id"], r["is_dup"], r["first_match"]) for r in out] == [
+        (100, False, -1)
+    ]
+
+
 def test_jaccard_doc_freq_cap_drops_hot_token(spark):
     """max_doc_freq guards the inverted-index quadratic: a stopword
     shared by EVERY document must not join the corpus against itself.

@@ -55,6 +55,10 @@ SHOW = [
     ("q96_cdx_snapshot_merge", "snapshot merge: one exchange on (surt,digest) carrying key+seek-triple columns only"),
     ("q97_domain_cap", "domain balancing: counts shuffle on host (tiny output) + broadcast rate join back; the corpus is never pairwise-compared"),
     ("q98_recrawl_frontier", "recrawl scheduling: one groupBy exchange on the index key (surt), then filter + pure-Column frontier projection"),
+    ("q99_wet_conversion", "WET derivation: pure Column work over the extracted table — no exchange added by the conversion itself"),
+    ("q100_wat_links", "WAT links: posexplode of already-extracted link arrays, no join and no exchange"),
+    ("q101_adaptive_delay", "AIMD politeness update: one host-keyed outer join of two host-level tables, nothing wider than (host, three longs)"),
+    ("q102_incremental_dedup", "incremental dedup: new snapshot's band keys equi-join the stored index; sig verify joins only matched old ids — old corpus text never rescanned"),
 ]
 
 

@@ -89,6 +89,48 @@ def minhash_signature(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """(id, band, bucket) LSH band-key table for a corpus — the
+    persistable index artifact that makes fuzzy dedup INCREMENTAL.
+
+    Write this once for the existing corpus (ideally bucketed on
+    ``bucket`` via write_bucketed); each new snapshot then dedups
+    against the index with ``dedup_against_index`` without ever
+    rescanning the old corpus's text. Index size is ``bands`` skinny
+    rows per document (two md5-hex strings + a byte), orders of
+    magnitude smaller than the text it summarizes. Signature building
+    is entirely expression-level — the only cost is one pass over the
+    new text."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -114,27 +156,7 @@ def minhash_lsh_candidates(
     aggregate. Hot buckets are by construction few, so the exclusion
     join is a broadcast anti-join (no extra shuffle on the big side).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    banded = with_sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
     if max_bucket_size is not None:
         # persist: the bucket-size scan and the self-join both consume
         # the banded keys; without this the signature expressions run
@@ -175,6 +197,112 @@ def minhash_lsh_candidates(
         pairs = materialize(pairs)
         banded.unpersist()
     return pairs
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    max_bucket_size: int | None = None,
+    old_sigs: DataFrame | None = None,
+    min_agree: int | None = None,
+) -> DataFrame:
+    """Incremental fuzzy dedup: annotate a NEW snapshot against an
+    EXISTING corpus's band index (``minhash_band_index`` output) —
+    the steady-state shape of production corpus curation (each crawl
+    snapshot dedups against everything already kept, without
+    re-processing the old corpus; composes with crawl/recrawl.py's
+    index-driven recrawl loop).
+
+    Returns one row per new document: (id, is_dup, first_match) where
+    ``first_match`` is the smallest matching old id (deterministic at
+    any parallelism) or -1 when the document is novel.
+
+    Verification without rescanning old text: pass ``old_sigs``
+    (id, sig) — the signature table persisted alongside the index —
+    and ``min_agree``; a candidate survives only if at least
+    ``min_agree`` of the ``num_hashes`` signature components agree
+    (the unbiased MinHash Jaccard estimate ≥ min_agree/num_hashes).
+    The sig join runs AFTER candidate distinct, so it touches only
+    matched old ids (skinny), never the whole signature table's
+    payload per banded row.
+
+    Scale shape: the new snapshot's text is read once (signature
+    expressions, no shuffle); the only wide exchange is the band-key
+    equi-join of ``bands`` skinny rows per new doc against the index.
+    ``max_bucket_size`` guards degenerate boilerplate buckets in the
+    index exactly like minhash_lsh_candidates (eager count + WARNING,
+    broadcast anti-join exclusion of both sides)."""
+    new_banded = minhash_band_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    old_banded = index.select("id", "band", "bucket")
+    if max_bucket_size is not None:
+        hot = (
+            old_banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+        )
+        stats = hot.agg(
+            F.count("*").alias("n_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+        ).collect()[0]
+        if stats["n_buckets"]:
+            _LOG.warning(
+                "dedup_against_index: dropping %d hot index buckets (%d rows) "
+                "over max_bucket_size=%d — matches within them are NOT emitted",
+                stats["n_buckets"], stats["n_rows"], max_bucket_size,
+            )
+        hot_keys = F.broadcast(hot.select("band", "bucket"))
+        old_banded = old_banded.join(hot_keys, ["band", "bucket"], "left_anti")
+        new_banded = new_banded.join(hot_keys, ["band", "bucket"], "left_anti")
+    cands = (
+        new_banded.join(
+            old_banded.select("band", "bucket", F.col("id").alias("old_id")),
+            ["band", "bucket"],
+        )
+        .select("id", "old_id")
+        .distinct()
+    )
+    if old_sigs is not None and min_agree is not None:
+        new_sigs = new_df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig_n"),
+        )
+        cands = (
+            cands.join(new_sigs, "id")
+            .join(
+                old_sigs.select(
+                    F.col("id").alias("old_id"), F.col("sig").alias("sig_o")
+                ),
+                "old_id",
+            )
+            .filter(
+                F.aggregate(
+                    F.zip_with(
+                        "sig_n", "sig_o", lambda a, b: (a == b).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                >= min_agree
+            )
+            .select("id", "old_id")
+        )
+    matched = cands.groupBy("id").agg(F.min("old_id").alias("first_match"))
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(matched, "id", "left")
+        .select(
+            "id",
+            F.col("first_match").isNotNull().alias("is_dup"),
+            F.coalesce("first_match", F.lit(-1).cast("long")).alias("first_match"),
+        )
+    )
 
 
 def jaccard_pairs(

@@ -3633,3 +3633,80 @@ def q101_adaptive_delay(spark, sf_dir):
         )
     )
     return update_host_delays(stats, prev)
+
+
+@query(
+    "q102_incremental_dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(
+                 regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS toks
+      FROM documents WHERE doc_id < 400),
+    sigs AS (
+      SELECT doc_id,
+      list_min(list_transform(toks, s -> md5(s || '#0'))) AS s0,
+      list_min(list_transform(toks, s -> md5(s || '#1'))) AS s1,
+      list_min(list_transform(toks, s -> md5(s || '#2'))) AS s2,
+      list_min(list_transform(toks, s -> md5(s || '#3'))) AS s3,
+      list_min(list_transform(toks, s -> md5(s || '#4'))) AS s4,
+      list_min(list_transform(toks, s -> md5(s || '#5'))) AS s5,
+      list_min(list_transform(toks, s -> md5(s || '#6'))) AS s6,
+      list_min(list_transform(toks, s -> md5(s || '#7'))) AS s7
+      FROM docs),
+    bands AS (
+      SELECT doc_id, unnest([
+        {'band': 0, 'bucket': md5(s0 || '|' || s1)},
+        {'band': 1, 'bucket': md5(s2 || '|' || s3)},
+        {'band': 2, 'bucket': md5(s4 || '|' || s5)},
+        {'band': 3, 'bucket': md5(s6 || '|' || s7)}], recursive := true)
+      FROM sigs),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id, o.doc_id AS old_id
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bucket = o.bucket
+      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+    ver AS (
+      SELECT c.id, c.old_id
+      FROM cand c
+      JOIN sigs a ON a.doc_id = c.id
+      JOIN sigs b ON b.doc_id = c.old_id
+      WHERE CAST(a.s0 = b.s0 AS INT) + CAST(a.s1 = b.s1 AS INT)
+          + CAST(a.s2 = b.s2 AS INT) + CAST(a.s3 = b.s3 AS INT)
+          + CAST(a.s4 = b.s4 AS INT) + CAST(a.s5 = b.s5 AS INT)
+          + CAST(a.s6 = b.s6 AS INT) + CAST(a.s7 = b.s7 AS INT) >= 4),
+    agg AS (SELECT id, min(old_id) AS first_match FROM ver GROUP BY id)
+    SELECT d.doc_id,
+           (a.first_match IS NOT NULL) AS is_dup,
+           CAST(coalesce(a.first_match, -1) AS BIGINT) AS first_match
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id < 400 AND doc_id % 2 = 1) d
+    LEFT JOIN agg a ON a.id = d.doc_id
+    """,
+)
+def q102_incremental_dedup(spark, sf_dir):
+    """Incremental fuzzy dedup — the steady-state corpus-curation
+    shape: the even-id half of documents is the EXISTING corpus,
+    persisted only as its (band, bucket) MinHash index + signature
+    table; the odd-id half is the NEW snapshot, annotated against the
+    index (dedup_against_index) with signature-agreement verification
+    (≥4/8 components ⇒ estimated Jaccard ≥ 0.5). The old corpus's
+    text is never rescanned. Oracle replays signatures, banding,
+    cross-snapshot candidates, agreement filter, and the min-match
+    election in SQL. Scale shape: one band-key equi-join of skinny
+    rows; sig verification joins only matched old ids."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_band_index(old, "text", "doc_id", num_hashes=8, bands=4)
+    old_sigs = old.select(
+        F.col("doc_id").alias("id"),
+        D.minhash_signature(F.col("text"), 8).alias("sig"),
+    )
+    res = D.dedup_against_index(
+        new, index, "text", "doc_id", num_hashes=8, bands=4,
+        old_sigs=old_sigs, min_agree=4,
+    )
+    return res.select(
+        F.col("id").alias("doc_id"), "is_dup", "first_match"
+    )
