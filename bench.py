@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "q93_warc_roundtrip", "q94_surt_collapse", "q95_warc_cdx",
     "q96_cdx_snapshot_merge", "q97_domain_cap", "q98_recrawl_frontier",
     "q99_wet_conversion", "q100_wat_links", "q101_adaptive_delay",
-    "q102_incremental_dedup",
+    "q102_incremental_dedup", "q103_incremental_curation",
 ]
 
 

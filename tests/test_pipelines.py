@@ -80,6 +80,54 @@ def test_curate_stage_toggles(spark):
     assert "fold" not in out.columns
 
 
+def test_curate_incremental_stage(spark):
+    """Incremental mode: the previous snapshot exists only as its band
+    index + signature table; a new-snapshot doc that duplicates the
+    old corpus is dropped, novel docs survive, and the whole chain
+    stays deterministic under repartition."""
+    from web_scraper_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_signature,
+    )
+
+    # controlled vocab: sf* synthetic docs share distinct-token SETS
+    # across ids (set-based MinHash at shingle_n=1 collides them fully,
+    # by design), so build disjoint-vocab docs for exact assertions.
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(12))
+
+    old = spark.createDataFrame(
+        [(i, doc(i), "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    # the new snapshot: 40 novel docs + one exact copy of old doc 3
+    new = spark.createDataFrame(
+        [(100 + i, doc(100 + i), "en") for i in range(40)]
+        + [(200001, doc(3), "en")],
+        "doc_id long, text string, lang string",
+    )
+    index = minhash_band_index(old, "text", "doc_id", num_hashes=16, bands=8)
+    sigs = old.select(
+        F.col("doc_id").alias("id"),
+        minhash_signature(F.col("text"), 16).alias("sig"),
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, fuzzy=False,
+        prev_index=index, prev_sigs=sigs, index_min_agree=8,
+    )
+    out = curate(new, "text", "doc_id", "lang", cfg)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 200001 not in ids                       # dup of the old corpus
+    assert ids == {100 + i for i in range(40)}     # every novel doc survives
+    ids2 = {
+        r["doc_id"]
+        for r in curate(
+            new.repartition(13), "text", "doc_id", "lang", cfg
+        ).select("doc_id").collect()
+    }
+    assert ids == ids2
+
+
 def test_curate_domain_cap_stage(spark):
     d = _base(spark).withColumn(
         "host",

@@ -59,6 +59,7 @@ SHOW = [
     ("q100_wat_links", "WAT links: posexplode of already-extracted link arrays, no join and no exchange"),
     ("q101_adaptive_delay", "AIMD politeness update: one host-keyed outer join of two host-level tables, nothing wider than (host, three longs)"),
     ("q102_incremental_dedup", "incremental dedup: new snapshot's band keys equi-join the stored index; sig verify joins only matched old ids — old corpus text never rescanned"),
+    ("q103_incremental_curation", "incremental curation through curate(): quality expressions in the scan, one digest exchange, band-key join vs the stored index"),
 ]
 
 

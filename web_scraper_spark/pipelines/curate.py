@@ -4,7 +4,8 @@ gate compositions):
 
     quality gate → language gate → exact dedup → fuzzy dedup
     (MinHash-LSH → Jaccard verify → connected components → survivor
-    election) → benchmark decontamination → domain cap →
+    election) → incremental dedup vs the previous snapshot's stored
+    band index → benchmark decontamination → domain cap →
     stratified rebalance → fold split
 
 Every stage is one of this package's tested operators; this module
@@ -30,6 +31,7 @@ from ..operators import text as TX
 from ..operators.dedup import (
     bench_ngram_digests,
     connected_components,
+    dedup_against_index,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_candidates,
@@ -51,6 +53,13 @@ class CurationConfig:
     lsh_num_hashes: int = 16
     lsh_bands: int = 8
     max_bucket_size: int | None = 2000      # LSH hot-bucket guard
+    # incremental mode: the EXISTING corpus as its persisted artifacts
+    # (minhash_band_index output + (id, sig) signature table, built
+    # with the SAME lsh_num_hashes/lsh_bands) — new-snapshot docs that
+    # fuzzily match it are dropped without reading the old text.
+    prev_index: DataFrame | None = None
+    prev_sigs: DataFrame | None = None      # enables sig verification
+    index_min_agree: int | None = None      # with prev_sigs: ≥k/num_hashes
     bench_df: DataFrame | None = None       # decontamination corpus
     bench_text_col: str = "text"
     contamination_n: int = 13
@@ -105,6 +114,26 @@ def curate(
             F.col("id").alias(id_col)
         )
         out = out.join(losers, id_col, "left_anti")
+
+    # 4b. incremental dedup: docs already (fuzzily) in the EXISTING
+    # corpus — represented only by its band index + signature table —
+    # are dropped (dedup_against_index); the steady-state
+    # snapshot-over-snapshot shape, composing with index-driven
+    # recrawl (crawl/recrawl.py).
+    if cfg.prev_index is not None:
+        ann = dedup_against_index(
+            out,
+            cfg.prev_index,
+            text_col,
+            id_col,
+            num_hashes=cfg.lsh_num_hashes,
+            bands=cfg.lsh_bands,
+            max_bucket_size=cfg.max_bucket_size,
+            old_sigs=cfg.prev_sigs,
+            min_agree=cfg.index_min_agree,
+        )
+        dups = ann.filter(F.col("is_dup")).select(F.col("id").alias(id_col))
+        out = out.join(dups, id_col, "left_anti")
 
     # 5. decontamination: benchmark digests broadcast; corpus never
     # shuffles for this check.

@@ -3710,3 +3710,114 @@ def q102_incremental_dedup(spark, sf_dir):
     return res.select(
         F.col("id").alias("doc_id"), "is_dup", "first_match"
     )
+
+
+_INCR_SIG_SQL = """
+    docs AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(
+                 regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS toks
+      FROM alltx),
+    sigs AS (
+      SELECT doc_id,
+      list_min(list_transform(toks, s -> md5(s || '#0'))) AS s0,
+      list_min(list_transform(toks, s -> md5(s || '#1'))) AS s1,
+      list_min(list_transform(toks, s -> md5(s || '#2'))) AS s2,
+      list_min(list_transform(toks, s -> md5(s || '#3'))) AS s3,
+      list_min(list_transform(toks, s -> md5(s || '#4'))) AS s4,
+      list_min(list_transform(toks, s -> md5(s || '#5'))) AS s5,
+      list_min(list_transform(toks, s -> md5(s || '#6'))) AS s6,
+      list_min(list_transform(toks, s -> md5(s || '#7'))) AS s7
+      FROM docs),
+    bands AS (
+      SELECT doc_id, unnest([
+        {'band': 0, 'bucket': md5(s0 || '|' || s1)},
+        {'band': 1, 'bucket': md5(s2 || '|' || s3)},
+        {'band': 2, 'bucket': md5(s4 || '|' || s5)},
+        {'band': 3, 'bucket': md5(s6 || '|' || s7)}], recursive := true)
+      FROM sigs),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id, o.doc_id AS old_id
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bucket = o.bucket
+      WHERE (n.doc_id % 2 = 1 OR n.doc_id >= 100000)
+        AND (o.doc_id < 400 AND o.doc_id % 2 = 0)),
+    ver AS (
+      SELECT DISTINCT c.id
+      FROM cand c
+      JOIN sigs a ON a.doc_id = c.id
+      JOIN sigs b ON b.doc_id = c.old_id
+      WHERE CAST(a.s0 = b.s0 AS INT) + CAST(a.s1 = b.s1 AS INT)
+          + CAST(a.s2 = b.s2 AS INT) + CAST(a.s3 = b.s3 AS INT)
+          + CAST(a.s4 = b.s4 AS INT) + CAST(a.s5 = b.s5 AS INT)
+          + CAST(a.s6 = b.s6 AS INT) + CAST(a.s7 = b.s7 AS INT) >= 8)
+"""
+
+
+@query(
+    "q103_incremental_curation",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 100000, lang, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 20 = 0),
+    q AS ({_QUALITY_SQL}),
+    fp AS (SELECT doc_id, lang, quality, text,
+           md5(trim(lower(regexp_replace(text,'\\s+',' ','g')))) AS h FROM q),
+    firsts AS (SELECT h, min(doc_id) AS fd FROM fp GROUP BY h),
+    kept AS (
+      SELECT fp.doc_id, fp.lang, fp.quality, fp.text
+      FROM fp JOIN firsts ON fp.h = firsts.h AND fp.doc_id = firsts.fd),
+    alltx AS (
+      SELECT doc_id, text FROM kept
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 2 = 0),
+    {_INCR_SIG_SQL}
+    SELECT k.doc_id, k.lang, k.quality
+    FROM kept k LEFT JOIN ver v ON v.id = k.doc_id
+    WHERE v.id IS NULL
+    """,
+)
+def q103_incremental_curation(spark, sf_dir):
+    """Incremental curation executed through the REUSABLE entry point
+    (pipelines.curate.curate): the odd-id half of documents plus
+    injected re-crawls of the existing corpus (every 20th even doc
+    under a shifted id) is curated as a NEW snapshot against the
+    even-id half, which exists only as its persisted band index +
+    signature table. Chain: quality score → within-snapshot exact
+    dedup → incremental fuzzy dedup vs the index (8/8 signature
+    agreement — estimated Jaccard 1.0, so only near-copies of the
+    existing corpus drop; this synthetic corpus is deliberately
+    duplicative, q52 proves 31k+ true ≥0.5 pairs in 300 docs).
+    Re-crawled copies vanish without the old text being
+    read; novel docs survive. The oracle re-derives every stage —
+    quality arithmetic, first-seen election, signatures, banding,
+    cross-snapshot agreement — in SQL."""
+    from ..pipelines.curate import CurationConfig, curate
+
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "lang", "text")
+    )
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        old.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    index = D.minhash_band_index(old, "text", "doc_id", num_hashes=8, bands=4)
+    sigs = old.select(
+        F.col("doc_id").alias("id"),
+        D.minhash_signature(F.col("text"), 8).alias("sig"),
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, fuzzy=False, lsh_num_hashes=8, lsh_bands=4,
+        prev_index=index, prev_sigs=sigs, index_min_agree=8,
+    )
+    return curate(new, "text", "doc_id", "lang", cfg).select(
+        "doc_id", "lang", "quality"
+    )
