@@ -100,8 +100,11 @@ def minhash_band_index(
     """(id, band, bucket) LSH band-key table for a corpus — the
     persistable index artifact that makes fuzzy dedup INCREMENTAL.
 
-    Write this once for the existing corpus (ideally bucketed on
-    ``bucket`` via write_bucketed); each new snapshot then dedups
+    Write this once for the existing corpus — ideally bucketed on
+    BOTH join keys, ``write_bucketed(ix, t, ["band", "bucket"])``, so
+    the per-snapshot candidate join never re-shuffles the index side
+    (plan-tested; a subset-key bucketing reshuffles both sides under
+    Spark's co-partition rules); each new snapshot then dedups
     against the index with ``dedup_against_index`` without ever
     rescanning the old corpus's text. Index size is ``bands`` skinny
     rows per document (two md5-hex strings + a byte), orders of

@@ -3544,7 +3544,16 @@ def q100_wat_links(spark, sf_dir):
     relative and one absolute anchor → typed metadata rows; posexplode
     of the resolved outlinks pins BOTH the urljoin absolutization and
     document order. The relative href resolves against the page url —
-    the same resolution the crawl's discovery path trusts."""
+    the same resolution the crawl's discovery path trusts.
+
+    posexplode_OUTER, deliberately: with an inner explode Catalyst's
+    InferFiltersFromGenerate adds `size(links)>0` and pushes it
+    through the deterministic Arrow UDF, so the WHOLE extraction ran
+    TWICE (measured 2× on this entry — the plan showed two
+    ArrowEvalPython nodes). Outer generate infers no filter → one
+    extraction pass; every synthetic page has links, so the output is
+    identical. (The crawl's own link explode is immune: `extracted`
+    is persisted, so inferred filters land on the cached relation.)"""
     from ..sources.warc import wat_from_pages
 
     d = _load(spark, sf_dir, "documents")
@@ -3562,10 +3571,17 @@ def q100_wat_links(spark, sf_dir):
             F.lit('">y</a><p>'), F.col("text"), F.lit("</p></body></html>"),
         ).alias("html"),
     )
+    # one small parquet = one input split; without this the whole
+    # Python extraction pass runs in ONE task (measured: the full
+    # suite's slowest entry). The crawl path repartitions before
+    # extraction for the same reason (url-keyed — deterministic).
+    pages = pages.repartition(
+        spark.sparkContext.defaultParallelism, "url"
+    )
     w = wat_from_pages(pages)
     return w.select(
         "url", "title", "n_links",
-        F.posexplode("links").alias("pos", "link"),
+        F.posexplode_outer("links").alias("pos", "link"),
     )
 
 

@@ -131,7 +131,7 @@ def write_jsonl_shards(
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 64,
     mode: str = "overwrite",
 ) -> None:
@@ -141,12 +141,19 @@ def write_bucketed(
     bucket i with bucket i), so a repeatedly-joined 100-TB fact table
     pays its shuffle once at write time instead of per query. Pair
     with :func:`bucketed_table` and see the plan test asserting the
-    exchange-free join."""
+    exchange-free join.
+
+    Multi-column keys must list EVERY join key: Spark (with the
+    default requireAllClusterKeysForCoPartition) will not co-partition
+    a subset-key bucketed scan against a differently-keyed exchange —
+    a (band, bucket) join over a bucket-only table reshuffles BOTH
+    sides (plan-tested)."""
+    keys = [key] if isinstance(key, str) else list(key)
     (
         df.write.mode(mode)
         .format("parquet")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
         .saveAsTable(table)
     )
 
