@@ -109,16 +109,19 @@ def test_incremental_dedup_against_index(spark, tmp_path):
     )
     expect = {(11, True, 2), (13, True, 6), (15, False, -1)}
 
-    def run(ix, sg):
+    def run(ix, sg, **kw):
         return {
             (r["id"], r["is_dup"], r["first_match"])
             for r in dedup_against_index(
                 new, ix, "text", "doc_id", num_hashes=16, bands=8,
-                old_sigs=sg, min_agree=8,
+                old_sigs=sg, min_agree=8, **kw,
             ).collect()
         }
 
     assert run(index, sigs) == expect
+    # the persist_sigs lever (one text pass, checkpointed sig table)
+    # must be a pure plan change
+    assert run(index, sigs, persist_sigs=True) == expect
     # the index is a persistable artifact: parquet round-trip changes nothing
     index.write.parquet(str(tmp_path / "ix"))
     sigs.write.parquet(str(tmp_path / "sg"))

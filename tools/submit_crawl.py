@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--quota-per-host", type=int, default=100000)
     ap.add_argument("--max-depth", type=int, default=3)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--adaptive-delay", action="store_true",
+        help="AIMD per-host politeness where robots declares no "
+        "Crawl-delay (error backoff / additive recovery; state rides "
+        "the round checkpoint)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,6 +54,7 @@ def main() -> None:
         ckpt_dir=args.ckpt,
         quota_per_host=args.quota_per_host,
         max_depth=args.max_depth,
+        adaptive_delay=args.adaptive_delay,
     )
     seeds = None if args.resume else [url_for(r) for r in range(args.seeds)]
     t0 = time.time()

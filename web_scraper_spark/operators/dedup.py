@@ -110,10 +110,19 @@ def minhash_band_index(
     rows per document (two md5-hex strings + a byte), orders of
     magnitude smaller than the text it summarizes. Signature building
     is entirely expression-level — the only cost is one pass over the
-    new text."""
-    rows_per_band = num_hashes // bands
+    new text. Indexes COMPOSE by unionByName (per-doc rows are
+    independent), so appending a curated snapshot's own index keeps
+    the artifact current for the next snapshot — no rebuild."""
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return _band_rows(with_sig, num_hashes, bands)
+
+
+def _band_rows(with_sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) → (id, band, bucket) band-key rows. Shared by
+    minhash_band_index and dedup_against_index's persist_sigs path so
+    both derive identical buckets from one signature definition."""
+    rows_per_band = num_hashes // bands
     return with_sig.select(
         "id",
         F.explode(
@@ -213,6 +222,7 @@ def dedup_against_index(
     max_bucket_size: int | None = None,
     old_sigs: DataFrame | None = None,
     min_agree: int | None = None,
+    persist_sigs: bool = False,
 ) -> DataFrame:
     """Incremental fuzzy dedup: annotate a NEW snapshot against an
     EXISTING corpus's band index (``minhash_band_index`` output) —
@@ -239,10 +249,31 @@ def dedup_against_index(
     equi-join of ``bands`` skinny rows per new doc against the index.
     ``max_bucket_size`` guards degenerate boilerplate buckets in the
     index exactly like minhash_lsh_candidates (eager count + WARNING,
-    broadcast anti-join exclusion of both sides)."""
-    new_banded = minhash_band_index(
-        new_df, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    broadcast anti-join exclusion of both sides).
+
+    ``persist_sigs``: with verification on, the plan has two branches
+    over the new text (band keys + the sig join), so the MinHash —
+    the dominant cost at corpus scale — computes twice. True
+    localCheckpoints the skinny (id, sig) table once and derives both
+    branches from it. A MEASURED lever per the project rule (the
+    materialization round-trip beats recompute only when the text
+    pass dominates): time both on your corpus before flipping it in a
+    long-lived pipeline."""
+    if persist_sigs and old_sigs is not None and min_agree is not None:
+        new_sigs = materialize(
+            new_df.select(
+                F.col(id_col).alias("id"),
+                minhash_signature(
+                    F.col(text_col), num_hashes, shingle_n
+                ).alias("sig"),
+            )
+        )
+        new_banded = _band_rows(new_sigs, num_hashes, bands)
+    else:
+        new_sigs = None
+        new_banded = minhash_band_index(
+            new_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
     old_banded = index.select("id", "band", "bucket")
     if max_bucket_size is not None:
         hot = (
@@ -272,12 +303,15 @@ def dedup_against_index(
         .distinct()
     )
     if old_sigs is not None and min_agree is not None:
-        new_sigs = new_df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig_n"),
-        )
+        if new_sigs is None:
+            new_sigs = new_df.select(
+                F.col(id_col).alias("id"),
+                minhash_signature(
+                    F.col(text_col), num_hashes, shingle_n
+                ).alias("sig"),
+            )
         cands = (
-            cands.join(new_sigs, "id")
+            cands.join(new_sigs.select("id", F.col("sig").alias("sig_n")), "id")
             .join(
                 old_sigs.select(
                     F.col("id").alias("old_id"), F.col("sig").alias("sig_o")
