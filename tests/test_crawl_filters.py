@@ -41,6 +41,45 @@ def test_ignore_patterns_filter(spark):
     assert out == {"https://a.x/docs/d1"}  # invalid URL also dropped (P1)
 
 
+def test_crawler_trap_rules(spark):
+    """is_crawler_trap: each rule trips alone; boundary values don't."""
+    from web_scraper_spark.functions.columns import is_crawler_trap
+
+    cases = [
+        ("https://a.x/docs/d1", False),                       # clean
+        ("https://a.x/" + "/".join(f"s{i}" for i in range(12)), False),  # depth 12 = bound
+        ("https://a.x/" + "/".join(f"s{i}" for i in range(13)), True),   # depth 13 > 12
+        ("https://a.x/loop/x/loop/y", False),                 # 2 repeats = under
+        ("https://a.x/loop/x/loop/x/loop", True),             # 3 repeats
+        ("https://a.x/s?" + "&".join(f"a{i}=1" for i in range(8)), False),
+        ("https://a.x/s?" + "&".join(f"a{i}=1" for i in range(9)), True),
+        ("https://a.x/p?a=1&&b=2", False),                    # empty params don't count
+        ("https://a.x/" + "a" * 2100, True),                  # length
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["t"]
+        for r in df.select("url", is_crawler_trap(F.col("url")).alias("t")).collect()
+    }
+    for u, want in cases:
+        assert got[u] is want, u
+
+
+def test_trap_filter_wired(spark):
+    """apply_url_filters(trap_filter=True) drops trap URLs in the same
+    chain as validity/ignore; default (off) keeps them."""
+    urls = [
+        "https://a.x/docs/d1",
+        "https://a.x/cal/2024/cal/2024/cal",   # segment loop
+        "https://a.x/" + "/".join(f"p{i}" for i in range(15)),
+    ]
+    f = seeds_to_frontier(spark, urls)
+    on = {r["url"] for r in apply_url_filters(f, trap_filter=True).collect()}
+    off = {r["url"] for r in apply_url_filters(f).collect()}
+    assert on == {"https://a.x/docs/d1"}
+    assert off == set(urls)
+
+
 def test_probe_seen_no_false_negatives(spark):
     n_shards = 4
     all_urls = [f"https://h{i%3}.x/p{i}" for i in range(200)]

@@ -1533,3 +1533,31 @@ def test_domain_cap_downsamples_only_hot_domains(spark):
         r.doc_id for r in capped.select("doc_id").collect()
     }
     capped.unpersist()
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """SemDedup policy pin: in a near-dup neighborhood the item with
+    the LOWEST centroid cosine (least prototypical) survives; members
+    closer to the centroid are removed; singleton clusters survive."""
+    from web_scraper_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),      # cluster A, prototypical
+        (1, [0.99, 0.141]),   # cluster A, near-dup of 0, farther out
+        (2, [0.0, 1.0]),      # cluster B, alone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id int, embedding array<double>",
+    )
+    for method in ("expr", "arrow"):
+        got = {
+            r["vec_id"]: (r["centroid_id"], r["removed"])
+            for r in semdedup(
+                df, "embedding", "vec_id", cents, threshold=0.9, method=method
+            ).collect()
+        }
+        assert got[0] == (0, True)    # closest to centroid → removed
+        assert got[1] == (0, False)   # farthest in the pair → kept
+        assert got[2] == (1, False)   # singleton cluster → kept

@@ -83,18 +83,25 @@ def apply_url_filters(
     frontier: DataFrame,
     robots: DataFrame | None = None,
     ignore_patterns: list[str] | None = None,
+    trap_filter: bool = False,
 ) -> DataFrame:
-    """Validity + ignore-patterns + robots filters.
+    """Validity + ignore-patterns + trap + robots filters.
 
     robots (small) is broadcast (J5). Two rule shapes are accepted:
     the legacy (host, disallow[], crawl_delay) table applies
     any-prefix disallow; a table that ALSO carries an ``allow`` column
     (crawl/robots.py::parse_robots output) applies RFC 9309
     longest-match precedence with Allow winning ties. Both are pure
-    expressions over the broadcast row."""
+    expressions over the broadcast row. ``trap_filter`` adds the
+    pathological-URL predicate (columns.is_crawler_trap: path depth /
+    segment loops / query explosions / length) in the same codegen
+    stage — frontier hygiene a discovery-driven crawl needs so one
+    calendar page can't flood the frontier."""
     out = frontier.filter(C.is_valid_url(F.col("url")))
     if ignore_patterns:
         out = out.filter(~C.matches_ignore_patterns(F.col("url"), ignore_patterns))
+    if trap_filter:
+        out = out.filter(~C.is_crawler_trap(F.col("url")))
     if robots is not None:
         path = C.url_path(F.col("url"))
         joined = out.join(F.broadcast(robots), "host", "left")

@@ -55,6 +55,11 @@ class CrawlConfig:
     round_budget_ms: int | None = None
     max_depth: int = 2
     ignore_patterns: list[str] = field(default_factory=list)
+    # drop pathological (trap-shaped) URLs at discovery time
+    # (functions/columns.py:is_crawler_trap — path-depth / segment-loop
+    # / query-explosion / length rules, same codegen stage as the
+    # validity filter)
+    trap_filter: bool = False
     expected_per_shard: int = 1 << 16
     fp_rate: float = 1e-4
     # URL-seen sketch family: "bloom" (default, fewest bits/item) or
@@ -245,6 +250,7 @@ def run_round(
         frontier.filter(F.col("status") == "pending").filter(F.col("depth") <= cfg.max_depth),
         robots=robots,
         ignore_patterns=cfg.ignore_patterns,
+        trap_filter=cfg.trap_filter,
     )
     round_caches: list[DataFrame] = []
     fresh = probe_seen(

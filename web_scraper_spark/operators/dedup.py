@@ -835,6 +835,69 @@ def global_sentence_dedup(
     )
 
 
+def boilerplate_line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_doc_freq: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency line dedup — the RefinedWeb/CCNet 'line-wise
+    correction' (Penedo et al. 2023 §dedup; CCNet's hashed-paragraph
+    dedup): a line occurring in ``min_doc_freq``+ DISTINCT documents
+    is boilerplate (nav bars, cookie banners, footers) and is stripped
+    from EVERY document; lines below the threshold survive in original
+    order. Unlike :func:`global_sentence_dedup` (keep-first), this is
+    frequency-thresholded: a repeated line vanishes from all its
+    hosts, including the first.
+
+    Scale shape: lines shuffle as (md5 digest, id) pairs — 32-byte
+    keys, never line text — for the distinct-doc count (one digest
+    groupBy over a pre-distinct); the hot-digest set that comes back
+    is the DISTINCT boilerplate vocabulary (tiny vs the corpus — AQE
+    broadcasts the join in practice); reassembly is one groupBy(id)
+    array_sort fold. Exact line identity (no normalization): the
+    boilerplate this removes is byte-identical template output.
+
+    Returns (id, clean_text, n_removed, n_total)."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("_k", F.md5(F.col("line")))
+    freq = (
+        lines.select("_k", "id")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_df"))
+    )
+    hot = freq.filter(F.col("_df") >= min_doc_freq).select("_k")
+    kept = lines.join(hot, "_k", "left_anti")
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_total"))
+    rebuilt = (
+        kept.select("id", F.struct("pos", "line").alias("p"))
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(F.array_sort(F.collect_list("p")), lambda x: x["line"]),
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        "n_total",
+    )
+
+
 def banded_hamming_pairs(
     fps: DataFrame, n_bits: int, max_hamming: int, n_blocks: int | None = None
 ) -> DataFrame:

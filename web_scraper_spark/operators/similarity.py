@@ -113,7 +113,8 @@ def ivf_assign_arrow(
 
 
 def ivf_assign(
-    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame, cent_id: str = "centroid_id"
+    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame,
+    cent_id: str = "centroid_id", keep_cos: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
@@ -121,7 +122,9 @@ def ivf_assign(
     join + per-row argmax — no shuffle of the corpus. This is the
     build step of an IVF index; persist the result partitioned by
     centroid for repeated queries. See :func:`ivf_assign_arrow` for
-    the BLAS twin used at corpus scale."""
+    the BLAS twin used at corpus scale. ``keep_cos`` retains the
+    winning cosine as ``centroid_cos`` (the keep/remove ranking key
+    SemDedup needs)."""
     c = centroids.select(
         F.col(cent_id).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
@@ -129,12 +132,15 @@ def ivf_assign(
     cos = _dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
     scored = v.crossJoin(F.broadcast(c)).withColumn("_cos", cos)
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("_cid"))
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_v", "_n", "_cv", "_cn", "_cos")
+        .drop("_rn", "_v", "_n", "_cv", "_cn")
         .withColumnRenamed("_cid", "centroid_id")
     )
+    if keep_cos:
+        return out.withColumnRenamed("_cos", "centroid_cos")
+    return out.drop("_cos")
 
 
 def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
@@ -405,6 +411,82 @@ def kmeans_refine(
             )
         )
     return cur
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    method: str = "expr",
+) -> DataFrame:
+    """SemDedup — semantic (embedding-space) deduplication via
+    cluster-restricted cosine neighborhoods (Abbas et al. 2023,
+    arXiv:2303.09540). Items are assigned to their nearest centroid;
+    within each cluster, pairs with cosine ≥ ``threshold`` are
+    semantic duplicates, and from every duplicate neighborhood the
+    item FARTHEST from its centroid survives (the paper's keep-low-
+    centroid-similarity policy: the retained example is the least
+    prototypical one). Deterministically: an item is removed iff some
+    cosine-neighbor has a strictly lower (centroid_cos, id) key — so
+    each neighborhood's local minima survive and every removal is
+    justified by a surviving-or-lower neighbor, replayable in SQL.
+
+    Scale shape: assignment is a broadcast-centroid argmax (no corpus
+    shuffle); the pair search is :func:`~web_scraper_spark.operators.
+    dedup.embedding_near_dups` restricted per cluster (one exchange on
+    centroid_id — never all-pairs; ``method="arrow"`` computes each
+    cluster's cosine matrix as one BLAS matmul); the removal rule is
+    two id-keyed joins of the SMALL pair table against the per-item
+    key. Nothing exchanges on anything wider than (centroid_id) or
+    (id). Cosines are rounded to 6 before comparison — engine-portable
+    keys (CLAUDE.md determinism idioms).
+
+    Returns (id, centroid_id, centroid_cos, removed)."""
+    from .dedup import embedding_near_dups
+
+    if vec_col not in centroids.columns and "centroid" in centroids.columns:
+        # accept label_centroids/kmeans_refine output (centroid_id, centroid)
+        centroids = centroids.select(
+            "centroid_id", F.col("centroid").alias(vec_col)
+        )
+    assigned = ivf_assign(df, vec_col, id_col, centroids, keep_cos=True)
+    pairs = embedding_near_dups(
+        assigned, vec_col, id_col, threshold,
+        bucket_col="centroid_id", method=method,
+    )
+    key = assigned.select(
+        F.col(id_col).alias("_kid"), F.round("centroid_cos", 6).alias("_kcos")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("_x"), F.col("id_b").alias("_y")
+    ).unionByName(pairs.select(F.col("id_b").alias("_x"), F.col("id_a").alias("_y")))
+    keyed = (
+        edges.join(
+            key.select(F.col("_kid").alias("_x"), F.col("_kcos").alias("_xcos")), "_x"
+        ).join(
+            key.select(F.col("_kid").alias("_y"), F.col("_kcos").alias("_ycos")), "_y"
+        )
+    )
+    removed = (
+        keyed.filter(
+            (F.col("_ycos") < F.col("_xcos"))
+            | ((F.col("_ycos") == F.col("_xcos")) & (F.col("_y") < F.col("_x")))
+        )
+        .select(F.col("_x").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.round("centroid_cos", 6).alias("centroid_cos"),
+            F.coalesce("_rm", F.lit(False)).alias("removed"),
+        )
+    )
+
 
 def bm25_topk(
     docs: DataFrame,

@@ -3837,3 +3837,179 @@ def q103_incremental_curation(spark, sf_dir):
     return curate(new, "text", "doc_id", "lang", cfg).select(
         "doc_id", "lang", "quality"
     )
+
+
+@query(
+    "q104_trap_urls",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, 'https://' || source || '.example.com' ||
+        CASE doc_id % 5
+          WHEN 0 THEN '/docs/d' || doc_id
+          WHEN 1 THEN '/s01/s02/s03/s04/s05/s06/s07/s08/s09/s10/s11/s12/s13/d'
+                      || doc_id
+          WHEN 2 THEN '/loop/x/loop/x/loop/d' || doc_id
+          WHEN 3 THEN '/search/d' || doc_id ||
+                      '?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1'
+          ELSE '/long/' || repeat('a', 2100) || '/d' || doc_id
+        END AS url
+      FROM documents WHERE doc_id < 500),
+    f AS (
+      SELECT url,
+             regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             CASE WHEN contains(url, '?')
+                  THEN regexp_extract(url, '\\?([^#]*)', 1)
+                  ELSE '' END AS q
+      FROM u),
+    seg AS (
+      SELECT url, q,
+             list_filter(string_split(path, '/'), s -> s <> '') AS segs
+      FROM f)
+    SELECT url,
+      (len(segs) > 12
+       OR len(list_filter(segs,
+              s -> len(list_filter(segs, x -> x = s)) >= 3)) > 0
+       OR len(list_filter(string_split(q, '&'), p -> p <> '')) > 8
+       OR length(url) > 2048) AS is_trap
+    FROM seg
+    """,
+)
+def q104_trap_urls(spark, sf_dir):
+    """Crawler-trap detection (functions/columns.py:is_crawler_trap,
+    wired as CrawlConfig.trap_filter → apply_url_filters): documents
+    synthesize five URL shapes — clean, 14-segment depth trap,
+    /loop/x/loop/x/loop segment-repetition trap, 9-param query
+    explosion, >2048-char length trap — and the predicate flags each.
+    The oracle re-derives all four rules from regex decomposition +
+    list lambdas, so a drifting bound or a miscounted segment
+    hash-fails. Pure Column expression (parse_url + array HOFs): at
+    discovery scale this runs inside the validity filter's codegen
+    stage, no exchange, no Python."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/docs/d"), i))
+        .when(m == 1, F.concat(
+            F.lit("/s01/s02/s03/s04/s05/s06/s07/s08/s09/s10/s11/s12/s13/d"), i))
+        .when(m == 2, F.concat(F.lit("/loop/x/loop/x/loop/d"), i))
+        .when(m == 3, F.concat(
+            F.lit("/search/d"), i,
+            F.lit("?a0=1&a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1")))
+        .otherwise(F.concat(F.lit("/long/"), F.repeat(F.lit("a"), 2100),
+                            F.lit("/d"), i))
+    )
+    urls = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com"), path).alias("url")
+    )
+    return urls.select("url", C.is_crawler_trap(F.col("url")).alias("is_trap"))
+
+
+@query(
+    "q105_semdedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT label, i, avg(v[i]) AS m
+             FROM e, generate_series(1, 64) AS t(i) GROUP BY label, i),
+    cent AS (SELECT label AS cid, list(m ORDER BY i) AS cv
+             FROM dims GROUP BY label),
+    a AS (
+      SELECT vec_id, v, cid, round(cc, 6) AS ccos FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.cv, c.cv))) AS cc,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    pairs AS (
+      SELECT p.vec_id AS x, q.vec_id AS y
+      FROM a p JOIN a q ON p.cid = q.cid AND p.vec_id <> q.vec_id
+      WHERE round(list_dot_product(p.v, q.v) /
+            (sqrt(list_dot_product(p.v, p.v)) *
+             sqrt(list_dot_product(q.v, q.v))), 6) >= 0.30),
+    rm AS (
+      SELECT DISTINCT pr.x AS vec_id
+      FROM pairs pr
+      JOIN a kx ON kx.vec_id = pr.x
+      JOIN a ky ON ky.vec_id = pr.y
+      WHERE ky.ccos < kx.ccos
+         OR (ky.ccos = kx.ccos AND ky.vec_id < kx.vec_id))
+    SELECT a.vec_id, a.cid AS centroid_id, a.ccos AS centroid_cos,
+           (rm.vec_id IS NOT NULL) AS removed
+    FROM a LEFT JOIN rm ON rm.vec_id = a.vec_id
+    """,
+)
+def q105_semdedup(spark, sf_dir):
+    """SemDedup (operators/similarity.py:semdedup — Abbas et al. 2023):
+    label-mean centroids → broadcast nearest-centroid assignment →
+    per-cluster BLAS cosine pairs (threshold 0.30) → keep-farthest-
+    from-centroid survivor election. The oracle re-derives centroids,
+    the assignment argmax (lowest-cid tie-break), the cluster-
+    restricted pair set, and the (centroid_cos, id) removal key — a
+    drifted assignment, a missed pair, or a flipped keep policy all
+    hash-fail. Exchanges: (centroid_id) for pairs, (id) for the
+    removal joins — never all-pairs, never wider than the id."""
+    emb = _load(spark, sf_dir, "embeddings")
+    seeds = S.label_centroids(emb, "embedding", "label")
+    return S.semdedup(
+        emb, "embedding", "vec_id", seeds, threshold=0.30, method="arrow"
+    )
+
+
+@query(
+    "q106_line_dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             'hdr ' || source || chr(10) || text || chr(10) ||
+             'pair ' || (doc_id // 2) || chr(10) ||
+             'quad ' || (doc_id // 4) AS t
+      FROM documents WHERE doc_id < 600),
+    lines AS (
+      SELECT doc_id, unnest(s) AS line, unnest(range(len(s))) AS pos
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS s FROM docs)),
+    freq AS (SELECT line, count(DISTINCT doc_id) AS dfq
+             FROM lines GROUP BY line),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN freq f ON f.line = l.line WHERE f.dfq < 3),
+    reb AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+    SELECT t.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(t.n_total AS BIGINT) AS n_total
+    FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+    """,
+)
+def q106_line_dedup(spark, sf_dir):
+    """Corpus-frequency boilerplate line removal (operators/dedup.py:
+    boilerplate_line_dedup — RefinedWeb's line-wise correction):
+    documents synthesize four lines each — a per-source header (df ≈
+    docs-per-source → removed), the unique text (kept), a pair-shared
+    line (df 2 < 3 → kept) and a quad-shared line (df 4 ≥ 3 →
+    removed). The oracle recomputes document frequencies over RAW
+    lines while the engine counts md5 digests — the digest indirection
+    (32-byte shuffle keys, never text) must be semantically invisible
+    or the rebuilt texts hash-fail."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("pair "), (F.col("doc_id") / 2).cast("long").cast("string"),
+            F.lit("\n"),
+            F.lit("quad "), (F.col("doc_id") / 4).cast("long").cast("string"),
+        ).alias("t"),
+    )
+    return D.boilerplate_line_dedup(synth, "t", "doc_id", min_doc_freq=3)
