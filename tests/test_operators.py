@@ -1561,3 +1561,36 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
         assert got[0] == (0, True)    # closest to centroid → removed
         assert got[1] == (0, False)   # farthest in the pair → kept
         assert got[2] == (1, False)   # singleton cluster → kept
+
+
+def test_anchor_edges_and_modal_text(spark):
+    """anchors product parallels links (same filters, plus text);
+    anchor_text_table elects the modal text with (count desc, text
+    asc) tie-break and counts distinct referring hosts."""
+    from web_scraper_spark.operators.graph import anchor_text_table
+    from web_scraper_spark.sources.warc import anchor_edges_from_pages
+
+    rows = [
+        ("https://a.x/p1", '<a href="/t">home</a><a href="#frag">skip</a>'
+                           '<a href="mailto:x@y">mail</a>'),
+        ("https://a.x/p2", '<a href="https://a.x/t">home</a>'),
+        ("https://b.x/p3", '<a href="https://a.x/t">casa</a>'),
+        ("https://b.x/p4", '<a href="https://a.x/t">casa</a>'),
+        ("https://b.x/p5", "<p>no links</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    edges = anchor_edges_from_pages(pages)
+    got = edges.collect()
+    # mailto dropped; fragment-only resolves to the page itself with
+    # the fragment stripped (links_from_doc semantics, shared path)
+    assert {r["target"] for r in got} == {"https://a.x/t", "https://a.x/p1"}
+    assert len(got) == 5
+    agg = {
+        r["target"]: r
+        for r in anchor_text_table(edges, src_host_col="src_host").collect()
+    }
+    assert agg["https://a.x/p1"]["top_anchor"] == "skip"
+    r = agg["https://a.x/t"]
+    assert (r["n_refs"], r["n_hosts"]) == (4, 2)
+    # 2x 'home' vs 2x 'casa': tie → lexicographically smaller wins
+    assert (r["top_anchor"], r["top_anchor_refs"]) == ("casa", 2)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..html.clean import clean_dom, extract_og_metadata, images_from_doc, links_from_doc
+from ..html.clean import anchors_from_doc, clean_dom, extract_og_metadata, images_from_doc
 from ..html.dom import parse_html
 from ..html.markdown import html_to_markdown
 
@@ -43,6 +43,17 @@ EXTRACTED_STRUCT = T.StructType(
         T.StructField("og_image", T.StringType()),
         T.StructField("images", T.ArrayType(IMAGE_STRUCT)),
         T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField(
+            "anchors",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("url", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -58,7 +69,8 @@ def extract_page_record(html: str, url: str) -> dict:
     doc = parse_html(html)
     og = extract_og_metadata(doc)
     images = images_from_doc(doc, url)
-    links = links_from_doc(doc, url)
+    anchors = anchors_from_doc(doc, url)
+    links = [a["url"] for a in anchors]
     clean_dom(doc)
     cleaned = doc.to_html()
     title_el = doc.find("title")
@@ -73,6 +85,7 @@ def extract_page_record(html: str, url: str) -> dict:
         "og_image": og.get("og_image"),
         "images": images,
         "links": links,
+        "anchors": anchors,
     }
 
 
@@ -122,7 +135,10 @@ def make_extract_udf(products: tuple[str, ...] = ALL_PRODUCTS):
         rows = []
         for h, u in zip(html, url):
             if h is None:
-                row = {n: ([] if n in ("images", "links") else None) for n in names}
+                row = {
+                    n: ([] if n in ("images", "links", "anchors") else None)
+                    for n in names
+                }
                 # match the JVM post-pass on null html: size([]) = 0
                 # images but a NULL token count (length(NULL) is NULL)
                 row.update({n: 0 if n == "n_images" else None for n, _ in computed})

@@ -200,6 +200,17 @@ def links_from_doc(doc: Element, base_url: str) -> list[str]:
     markdown_formatter.py:166-169; crawl expansion is the reference's
     declared-but-unbuilt max_depth capability, contxt/config.py:20).
     Only http(s) results are returned; fragments are dropped."""
+    return [a["url"] for a in anchors_from_doc(doc, base_url)]
+
+
+def anchors_from_doc(doc: Element, base_url: str) -> list[dict]:
+    """Document-order (target url, anchor text) records — the same
+    traversal/filters as :func:`links_from_doc` (that function
+    delegates here, so the frontier's link set and the anchor corpus
+    can never drift), plus each anchor's stripped inner text. Anchor
+    text is the classic off-page relevance/quality signal a web-scale
+    corpus aggregates per target (WAT metadata carries it for the
+    same reason)."""
     out = []
     for a in doc.find_all("a"):
         href = a.get("href")
@@ -208,7 +219,7 @@ def links_from_doc(doc: Element, base_url: str) -> list[str]:
         absu = urljoin(base_url, href)
         absu = absu.split("#", 1)[0]
         if absu.startswith(("http://", "https://")):
-            out.append(absu)
+            out.append({"url": absu, "text": a.get_text(strip=True)})
     return out
 
 

@@ -125,3 +125,48 @@ def integer_pagerank(
         sends.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def anchor_text_table(
+    edges: DataFrame,
+    target_col: str = "target",
+    text_col: str = "anchor",
+    src_host_col: str | None = None,
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the off-page description
+    corpus (how the web refers to each URL), the classic relevance /
+    title-fallback / quality signal search and curation pipelines
+    build from WAT-style outlink metadata. For every target URL:
+    total in-refs, distinct referring hosts (when ``src_host_col`` is
+    given), and the modal anchor text with a deterministic
+    (count desc, text asc) tie-break.
+
+    Scale shape: one (target, text) groupBy for the per-text counts,
+    a target-partitioned window over THAT aggregate (already one row
+    per distinct text — never the raw edge list), and one (target)
+    groupBy for totals; the two results join on target. Nothing
+    exchanges on anything wider than (target, text); anchor strings
+    are typically short, and the aggregate the window sorts is
+    |distinct texts per target|, bounded by template-ness of the web
+    (hot targets have millions of refs but few distinct texts).
+
+    Returns (target, n_refs[, n_hosts], top_anchor, top_anchor_refs).
+    """
+    from pyspark.sql import Window
+
+    per_text = edges.groupBy(
+        F.col(target_col).alias("target"), F.col(text_col).alias("top_anchor")
+    ).agg(F.count("*").alias("top_anchor_refs"))
+    w = Window.partitionBy("target").orderBy(
+        F.desc("top_anchor_refs"), F.asc("top_anchor")
+    )
+    top = (
+        per_text.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    aggs = [F.count("*").alias("n_refs")]
+    if src_host_col is not None:
+        aggs.append(F.countDistinct(F.col(src_host_col)).alias("n_hosts"))
+    totals = edges.groupBy(F.col(target_col).alias("target")).agg(*aggs)
+    return totals.join(top, "target")

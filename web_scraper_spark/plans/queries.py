@@ -4013,3 +4013,67 @@ def q106_line_dedup(spark, sf_dir):
         ).alias("t"),
     )
     return D.boilerplate_line_dedup(synth, "t", "doc_id", min_doc_freq=3)
+
+
+@query(
+    "q107_anchor_text",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 800),
+    e AS (
+      SELECT 'https://' || source || '.example.com/l/' || (doc_id % 7) AS target,
+             'nav ' || (doc_id % 3) AS anchor,
+             source || '.example.com' AS src_host
+      FROM d
+      UNION ALL
+      SELECT 'https://ext.example.org/p/' || (doc_id % 5),
+             'ext page', source || '.example.com'
+      FROM d),
+    pt AS (SELECT target, anchor AS top_anchor, count(*) AS top_anchor_refs
+           FROM e GROUP BY target, anchor),
+    top AS (
+      SELECT target, top_anchor, top_anchor_refs FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target
+          ORDER BY top_anchor_refs DESC, top_anchor) AS rn
+        FROM pt) WHERE rn = 1),
+    tot AS (SELECT target, count(*) AS n_refs,
+                   count(DISTINCT src_host) AS n_hosts
+            FROM e GROUP BY target)
+    SELECT t.target, t.n_refs, t.n_hosts, p.top_anchor, p.top_anchor_refs
+    FROM tot t JOIN top p USING (target)
+    """,
+)
+def q107_anchor_text(spark, sf_dir):
+    """Anchor-text corpus (sources/warc.py:anchor_edges_from_pages →
+    operators/graph.py:anchor_text_table): pages carry one relative
+    nav link (text 'nav {id%3}') and one absolute external link
+    ('ext page'); the REAL extraction engine parses them (anchors
+    product, pruned Arrow pass), edges explode outer (single
+    extraction — the q100 lesson), and the per-target aggregate
+    elects the modal anchor with the (count desc, text asc)
+    tie-break. The oracle predicts the whole edge list analytically —
+    a urljoin drift, a lost anchor text, or a flipped tie-break
+    hash-fails."""
+    from ..sources.warc import anchor_edges_from_pages
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="/l/'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">nav '), (F.col("doc_id") % 3).cast("string"),
+            F.lit('</a><a href="https://ext.example.org/p/'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">ext page</a><p>'), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    pages = pages.repartition(spark.sparkContext.defaultParallelism, "url")
+    edges = anchor_edges_from_pages(pages)
+    return G.anchor_text_table(
+        edges, target_col="target", text_col="anchor", src_host_col="src_host"
+    )

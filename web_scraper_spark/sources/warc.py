@@ -299,6 +299,39 @@ def wat_from_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def anchor_edges_from_pages(pages: DataFrame) -> DataFrame:
+    """Pages → (src_url, src_host, target, anchor) link edges with
+    anchor text — the WAT-outlink edge list
+    :func:`~web_scraper_spark.operators.graph.anchor_text_table`
+    aggregates. One pruned extraction pass ships ONLY the anchors
+    struct array across Arrow (no markdown/clean_html carrier
+    columns); the explode is ``posexplode_outer`` for the same
+    InferFiltersFromGenerate reason as :func:`wat_from_pages`'s q100
+    note — an inner generate would infer ``size(anchors)>0`` and run
+    the whole extraction twice. Null edges from pages with no links
+    are filtered AFTER the generate (that predicate references the
+    generated column, so it cannot be pushed back through)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import extract_pages
+
+    ex = extract_pages(pages, products=("anchors",))
+    return (
+        ex.select(
+            F.col("url").alias("src_url"),
+            F.parse_url("url", F.lit("HOST")).alias("src_host"),
+            F.posexplode_outer("anchors").alias("pos", "a"),
+        )
+        .filter(F.col("a").isNotNull())
+        .select(
+            "src_url",
+            "src_host",
+            F.col("a.url").alias("target"),
+            F.col("a.text").alias("anchor"),
+        )
+    )
+
+
 def write_wet_dir(
     wet: DataFrame,
     out_dir: str,
