@@ -150,3 +150,26 @@ def test_curate_domain_cap_stage(spark):
     assert hot_out <= 0.3 * n_in
     assert hot_out > 0
     assert cold_out >= 0.95 * cold_in  # cold domains pass (minus dedup)
+
+
+def test_curate_line_dedup_stage(spark):
+    """Line-wise correction runs BEFORE dedup: stripping shared
+    template chrome exposes documents that are identical underneath,
+    and exact dedup then collapses them (the motivating interaction)."""
+    from web_scraper_spark.pipelines.curate import CurationConfig, curate
+
+    chrome = "COOKIE BANNER\n"
+    rows = [
+        (1, "en", chrome + "alpha unique body text one"),
+        (2, "en", chrome + "same hidden body"),
+        (3, "en", "same hidden body"),          # identical to 2 post-strip
+        (4, "en", chrome + "gamma distinct body text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    cfg = CurationConfig(min_quality=0.0, fuzzy=False, line_dedup_min_df=3)
+    got = {r["doc_id"]: r["text"] for r in
+           curate(d, "text", "doc_id", "lang", cfg).collect()}
+    # chrome line (df=3) stripped everywhere; doc 3 deduped into doc 2
+    assert set(got) == {1, 2, 4}
+    assert got[2] == "same hidden body"
+    assert not any("COOKIE" in t for t in got.values())

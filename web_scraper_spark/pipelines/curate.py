@@ -2,7 +2,8 @@
 way a production run chains them (the reusable twin of the q75/q70
 gate compositions):
 
-    quality gate → language gate → exact dedup → fuzzy dedup
+    quality gate → language gate → boilerplate line removal →
+    exact dedup → fuzzy dedup
     (MinHash-LSH → Jaccard verify → connected components → survivor
     election) → incremental dedup vs the previous snapshot's stored
     band index → benchmark decontamination → domain cap →
@@ -30,6 +31,7 @@ from pyspark.sql import functions as F
 from ..operators import text as TX
 from ..operators.dedup import (
     bench_ngram_digests,
+    boilerplate_line_dedup,
     connected_components,
     dedup_against_index,
     exact_dedup,
@@ -48,6 +50,11 @@ from ..operators.relational import (
 class CurationConfig:
     min_quality: float = 0.5
     langs: list[str] | None = None          # None = keep all languages
+    # corpus-frequency boilerplate line removal (RefinedWeb line-wise
+    # correction): lines in >= this many distinct docs are stripped
+    # before any dedup stage sees the text. None = off.
+    line_dedup_min_df: int | None = None
+    line_sep: str = "\n"
     fuzzy: bool = True                      # LSH → Jaccard → components
     jaccard_threshold: float = 0.8
     lsh_num_hashes: int = 16
@@ -90,6 +97,20 @@ def curate(
     )
     if cfg.langs is not None:
         out = out.filter(F.col(lang_col).isin(*cfg.langs))
+
+    # 2b. boilerplate line removal: corpus-frequency thresholded line
+    # strip (digest-keyed) BEFORE dedup, so template chrome can't make
+    # distinct documents look identical (or near-identical) downstream.
+    # Quality (stage 1) scored the raw text — the gate order keeps the
+    # cheap pure-expression prunes ahead of this shuffling stage.
+    if cfg.line_dedup_min_df is not None:
+        cleaned = boilerplate_line_dedup(
+            out, text_col, id_col,
+            min_doc_freq=cfg.line_dedup_min_df, sep=cfg.line_sep,
+        ).select(F.col("id").alias(id_col), F.col("clean_text"))
+        out = out.drop(text_col).join(cleaned, id_col).withColumnRenamed(
+            "clean_text", text_col
+        )
 
     # 3. exact dedup (first-seen by lowest id on the md5 digest).
     out = exact_dedup(out, text_col, id_col).drop("content_hash")
