@@ -65,6 +65,7 @@ def ivf_assign_arrow(
     id_col: str,
     centroids: DataFrame,
     cent_id: str = "centroid_id",
+    keep_cos: bool = False,
 ) -> DataFrame:
     """Arrow/BLAS twin of :func:`ivf_assign`: the centroid matrix
     (tiny by definition — it is the k of k-means) is collected once
@@ -87,10 +88,12 @@ def ivf_assign_arrow(
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cid_field = centroids.schema[cent_id].dataType
 
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     out_schema = StructType(
-        list(df.schema.fields) + [StructField("centroid_id", cid_field)]
+        list(df.schema.fields)
+        + [StructField("centroid_id", cid_field)]
+        + ([StructField("centroid_cos", DoubleType())] if keep_cos else [])
     )
 
     def assign(batches):
@@ -107,6 +110,10 @@ def ivf_assign_arrow(
             best = cos.argmax(axis=1)  # first max = lowest cid on ties
             out = pdf.copy()
             out["centroid_id"] = pd.Series(cids[best], index=pdf.index)
+            if keep_cos:
+                out["centroid_cos"] = pd.Series(
+                    cos[np.arange(len(pdf)), best], index=pdf.index
+                )
             yield out
 
     return df.mapInPandas(assign, out_schema)
@@ -432,8 +439,11 @@ def semdedup(
     each neighborhood's local minima survive and every removal is
     justified by a surviving-or-lower neighbor, replayable in SQL.
 
-    Scale shape: assignment is a broadcast-centroid argmax (no corpus
-    shuffle); the pair search is :func:`~web_scraper_spark.operators.
+    Scale shape: assignment broadcasts the centroid matrix — with
+    ``method="arrow"`` it is a shuffle-free mapInPandas BLAS argmax
+    (the expr twin instead pays a per-id window shuffle, fine at
+    gate scale, wrong at 100 TB); the pair search is
+    :func:`~web_scraper_spark.operators.
     dedup.embedding_near_dups` restricted per cluster (one exchange on
     centroid_id — never all-pairs; ``method="arrow"`` computes each
     cluster's cosine matrix as one BLAS matmul); the removal rule is
@@ -450,7 +460,12 @@ def semdedup(
         centroids = centroids.select(
             "centroid_id", F.col("centroid").alias(vec_col)
         )
-    assigned = ivf_assign(df, vec_col, id_col, centroids, keep_cos=True)
+    if method == "arrow":
+        # shuffle-free BLAS argmax — the expr twin's per-id window
+        # would re-shuffle the whole corpus just to pick the max
+        assigned = ivf_assign_arrow(df, vec_col, id_col, centroids, keep_cos=True)
+    else:
+        assigned = ivf_assign(df, vec_col, id_col, centroids, keep_cos=True)
     pairs = embedding_near_dups(
         assigned, vec_col, id_col, threshold,
         bucket_col="centroid_id", method=method,
