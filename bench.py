@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q96_cdx_snapshot_merge", "q97_domain_cap", "q98_recrawl_frontier",
     "q99_wet_conversion", "q100_wat_links", "q101_adaptive_delay",
     "q102_incremental_dedup", "q103_incremental_curation",
+    "q104_trap_urls", "q105_semdedup", "q106_line_dedup",
+    "q107_anchor_text",
 ]
 
 
