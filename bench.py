@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "q99_wet_conversion", "q100_wat_links", "q101_adaptive_delay",
     "q102_incremental_dedup", "q103_incremental_curation",
     "q104_trap_urls", "q105_semdedup", "q106_line_dedup",
-    "q107_anchor_text",
+    "q107_anchor_text", "q108_winnow_fingerprints",
 ]
 
 

@@ -1594,3 +1594,32 @@ def test_anchor_edges_and_modal_text(spark):
     assert (r["n_refs"], r["n_hosts"]) == (4, 2)
     # 2x 'home' vs 2x 'casa': tie → lexicographically smaller wins
     assert (r["top_anchor"], r["top_anchor_refs"]) == ("casa", 2)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of at least
+    window+k-1 chars share at least one fingerprint hash; docs
+    shorter than window+k-1 yield no fingerprints; selection is
+    parallelism-independent (pure expression)."""
+    from web_scraper_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"   # 25 chars >= 4+8-1
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "xxxxxxxx " + shared + " yyyyyyyy"),
+        (3, "completely unrelated body of words here"),
+        (4, "tiny"),                        # < k+window-1 → no rows
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["id"], set()).add(r["gram_hash"])
+    assert 4 not in by_doc
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # density sanity: ~2/(w+1) of windows selected, far fewer than grams
+    assert 0 < len(by_doc[3]) < len(rows[2][1])
+    again = winnow_fingerprints(
+        d.repartition(7), "text", "doc_id", k=8, window=4
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, fp.collect()))

@@ -835,6 +835,83 @@ def global_sentence_dedup(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): hash every k-gram, slide a window of
+    ``window`` consecutive k-gram hashes, and from each window select
+    the minimal hash — rightmost on ties, per the paper — recording
+    each selected (position, hash) once. Guarantee: any two documents
+    sharing a substring of at least ``window + k - 1`` chars share at
+    least one fingerprint, with ~2/(window+1) density — the classic
+    local fingerprinting scheme between per-doc digests (q15) and the
+    ExactSubstr span family (every window is represented, so matches
+    can't fall between samples).
+
+    Scale shape: ENTIRELY per-row Column expressions (transform over
+    a sequence + an aggregate fold per window) — no exchange, no UDF,
+    no join; fingerprinting is document-local so the operator adds
+    zero shuffle at any corpus size. Hashes are md5 hex (lexicographic
+    min — the engine-portable idiom; the oracle replays with DuckDB's
+    md5 and a rank window). Cost is O(n·window) expression evaluations
+    per doc — the window is a small constant by construction.
+
+    Returns (id, gram_pos, gram_hash) — one row per distinct selected
+    fingerprint; documents shorter than ``window + k - 1`` chars
+    contribute no rows."""
+    txt = F.col(text_col)
+    n_g = (F.length(txt) - F.lit(k - 1)).cast("int")
+    grams = F.transform(
+        F.sequence(F.lit(0), n_g - 1),
+        lambda i: F.md5(txt.substr(i + 1, F.lit(k))),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(n_g >= F.lit(window), grams)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_g"),
+    )
+    g = F.col("_g")
+    init = F.struct(
+        F.lit("g").alias("h"), F.lit(-1).cast("int").alias("p")
+    )  # 'g' > any md5 hex char
+
+    def elect(i):
+        # rightmost minimal hash in [i, i+window-1]: '<=' lets a later
+        # equal hash displace an earlier one (the paper's tie rule)
+        return F.aggregate(
+            F.sequence(i, i + F.lit(window - 1)),
+            init,
+            lambda acc, j: F.when(
+                F.element_at(g, j.cast("int") + 1) <= acc["h"],
+                F.struct(
+                    F.element_at(g, j.cast("int") + 1).alias("h"),
+                    j.cast("int").alias("p"),
+                ),
+            ).otherwise(acc),
+        )
+
+    sel = F.when(
+        F.size(g) >= F.lit(window),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(g) - window), elect)
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,p:int>>"))
+    return (
+        base.select("id", F.explode(sel).alias("fp"))
+        .select(
+            "id",
+            F.col("fp.p").cast("bigint").alias("gram_pos"),
+            F.col("fp.h").alias("gram_hash"),
+        )
+    )
+
+
 def boilerplate_line_dedup(
     df: DataFrame,
     text_col: str,

@@ -4077,3 +4077,45 @@ def q107_anchor_text(spark, sf_dir):
     return G.anchor_text_table(
         edges, target_col="target", text_col="anchor", src_host_col="src_host"
     )
+
+
+@query(
+    "q108_winnow_fingerprints",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+    g AS (
+      -- DuckDB 1.0: no correlated lateral generate_series — use an
+      -- uncorrelated range (documents cap well under 4000 chars)
+      -- filtered per doc
+      SELECT doc_id, i AS pos, md5(substr(text, i + 1, 8)) AS h
+      FROM d, generate_series(0, 4000) AS t(i)
+      WHERE i <= length(text) - 8),
+    lim AS (SELECT doc_id, length(text) - 7 AS n_g FROM d),
+    wins AS (
+      SELECT a.doc_id, a.pos AS ws, b.pos, b.h
+      FROM g a
+      JOIN lim l ON l.doc_id = a.doc_id
+      JOIN g b ON b.doc_id = a.doc_id
+            AND b.pos BETWEEN a.pos AND a.pos + 3
+      WHERE a.pos <= l.n_g - 4),
+    sel AS (
+      SELECT doc_id, ws, pos, h,
+             row_number() OVER (
+               PARTITION BY doc_id, ws
+               ORDER BY h ASC, pos DESC) AS rn
+      FROM wins)
+    SELECT DISTINCT doc_id AS id, CAST(pos AS BIGINT) AS gram_pos,
+           h AS gram_hash
+    FROM sel WHERE rn = 1
+    """,
+)
+def q108_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.py:winnow_fingerprints
+    — Schleimer et al. 2003 / MOSS): k=8 md5 k-grams, window 4,
+    rightmost-minimal selection, distinct (pos, hash) per document.
+    The oracle replays every window with a (hash asc, pos desc) rank
+    — a drifted tie rule, an off-by-one window bound, or a missed
+    dedup all hash-fail. The engine side is pure per-row expression
+    work: zero exchanges at any corpus size (PLANS.md)."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
