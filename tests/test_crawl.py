@@ -560,3 +560,42 @@ def test_adaptive_delay_state_and_fallback(spark, tmp_path):
     )
     steps = {b - a for a, b in zip(offs, offs[1:])}
     assert steps == {750} or steps == set()
+
+
+def test_trap_filter_in_round_loop(spark, tmp_path):
+    """CrawlConfig.trap_filter is live in the round loop: a trap-shaped
+    link discovered in round 0 is never scheduled when the filter is
+    on, and IS scheduled by default (off)."""
+    import datetime as _dt
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+
+    seed = "https://site0.example.com/start"
+    trap = "https://site0.example.com/cal/x/cal/x/cal"
+    ok = "https://site0.example.com/docs/fine"
+    ts = _dt.datetime(2024, 1, 1)
+    html = (
+        f'<html><body><a href="{trap}">t</a>'
+        f'<a href="{ok}">o</a></body></html>'
+    ).encode()
+    rows = [
+        (seed, ts, html, "", "en"),
+        (trap, ts, b"<html><body>trap</body></html>", "", "en"),
+        (ok, ts, b"<html><body>fine</body></html>", "", "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    for flag, want in ((False, {seed, trap, ok}), (True, {seed, ok})):
+        ck = str(tmp_path / f"ck_{flag}")
+        cfg = CrawlConfig(
+            ckpt_dir=ck, quota_per_host=16, max_depth=2, n_shards=4,
+            trap_filter=flag,
+        )
+        run_crawl(spark, cfg, pages, None, [seed], n_rounds=2)
+        fetched = set()
+        for rnd in (0, 1):
+            p = os.path.join(ck, f"round={rnd}", "fetch_log")
+            if os.path.exists(p):
+                fetched |= {
+                    r["url"] for r in spark.read.parquet(p).collect()
+                }
+        assert fetched == want, (flag, fetched)
