@@ -1623,3 +1623,38 @@ def test_winnow_shared_substring_guarantee(spark):
         d.repartition(7), "text", "doc_id", k=8, window=4
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, fp.collect()))
+
+
+def test_repetition_signals_hand_values(spark):
+    """Gopher repetition suite: hand-computed fractions for every rule
+    family, including the dup-char cap at 1.0 and the (count, length,
+    gram) most-frequent tie-break."""
+    from web_scraper_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "x\ny\nx\n\np\n\np"),
+        (2, "a b a b a b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in repetition_signals(
+            d, "text", "doc_id", top_ns=(2,), dup_ns=(2, 5)
+        ).collect()
+    }
+    r1 = got[1]
+    # lines [x,y,x,p,p]: 4/5 dup, chars 4/5; paras [x\ny\nx, p, p]:
+    # 2/3 dup, chars 2/7; norm 'x y x p p' (9 chars), all bigrams
+    # unique -> top2 = 3/9 picked as max (1, 3, 'y x')
+    assert r1["dup_line_frac"] == 0.8
+    assert r1["dup_line_char_frac"] == 0.8
+    assert r1["dup_para_frac"] == round(2 / 3, 6)
+    assert r1["dup_para_char_frac"] == round(2 / 7, 6)
+    assert r1["top2_char_frac"] == round(3 / 9, 6)
+    assert r1["dup5_char_frac"] == 0.0
+    r2 = got[2]
+    # norm 'a b a b a b' (11 chars): bigram counts {'a b':3,'b a':2}
+    # -> top2 = 9/11; dup2 covered = 3*3+2*3 = 15 > 11 -> capped 1.0
+    assert r2["top2_char_frac"] == round(9 / 11, 6)
+    assert r2["dup2_char_frac"] == 1.0
+    assert r2["dup_line_frac"] == 0.0

@@ -65,6 +65,7 @@ SHOW = [
     ("q106_line_dedup", "corpus-frequency line dedup: digest-keyed distinct+groupBy, anti-join back, per-doc reassembly fold — line text never shuffles as a key"),
     ("q107_anchor_text", "anchor-text corpus: pruned Arrow pass ships only the anchors array; (target,text) groupBy + window over the aggregate, modal election"),
     ("q108_winnow_fingerprints", "winnowing fingerprints: pure per-row expression (transform + window folds) — zero exchanges, zero UDFs at any corpus size"),
+    ("q109_repetition_signals", "Gopher repetition suite: 13 per-doc signals as run-length folds over sorted gram arrays — scan → project, zero exchanges"),
 ]
 
 

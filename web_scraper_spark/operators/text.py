@@ -615,3 +615,173 @@ def chunk_tokens(
             F.size(piece).cast("long").alias("n_tokens"),
         )
     )
+
+
+def repetition_signals(
+    df,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+):
+    """The full Gopher repetition-filter signal suite (Rae et al. 2021
+    §A1.1, the rules Dolma/FineWeb/datatrove re-implement): per
+    document —
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of
+      non-empty ``\\n``-lines (and of their characters) occurring 2+
+      times within the document;
+    - ``dup_para_frac`` / ``dup_para_char_frac``: same over
+      ``\\n\\n``-paragraphs;
+    - ``top{n}_char_frac`` (n in ``top_ns``): characters covered by
+      the MOST frequent word n-gram over the normalized token stream
+      (count × gram length / normalized length), most-frequent chosen
+      by the (count, gram length, gram) struct max —
+      :func:`top_ngram_char_share`'s tie-break, replicated per-row;
+    - ``dup{n}_char_frac`` (n in ``dup_ns``): characters covered by
+      ALL n-grams occurring 2+ times (Σ count·len over duplicated
+      distinct grams / normalized length, capped at 1.0 — the
+      overlap-unaware upper bound; documented rule, oracled exactly).
+
+    Line/paragraph rules run over the RAW text (normalization would
+    destroy the line structure); n-gram rules run over the same
+    lowercased whitespace-collapsed stream as the other Gopher ops.
+
+    Scale shape: ENTIRELY per-row Column expressions — zero
+    exchanges, zero UDFs at any corpus size (the signals are
+    document-local; the plan is scan → project). N-gram counting is a
+    run-length fold over the sorted gram array — O(G log G) per
+    document per n, no distinct×scan quadratic; line/paragraph
+    counting stays the direct O(U²) scan (U is tiny). Returns
+    (id, <all signal columns>), one row per input document, all
+    fractions rounded to 6."""
+    txt = F.col(text_col)
+
+    def seg_signals(sep_regex):
+        units = F.filter(F.split(txt, sep_regex, -1), lambda s: s != "")
+
+        def is_dup(x):
+            return F.size(F.filter(units, lambda y: y == x)) >= 2
+
+        dups = F.filter(units, is_dup)
+        chars = lambda a: F.aggregate(  # noqa: E731
+            a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        frac = F.when(
+            F.size(units) > 0,
+            F.size(dups).cast("double") / F.size(units),
+        ).otherwise(F.lit(0.0))
+        cfrac = F.when(
+            chars(units) > 0,
+            chars(dups).cast("double") / chars(units),
+        ).otherwise(F.lit(0.0))
+        return F.round(frac, 6), F.round(cfrac, 6)
+
+    norm = F.trim(F.regexp_replace(F.lower(txt), r"\s+", " "))
+    toks = F.split(norm, " ")
+    nt = F.size(toks)
+    nc = F.length(norm)
+
+    def grams_of(n):
+        return F.when(
+            nt >= n,
+            F.transform(
+                F.sequence(F.lit(0), nt - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def gram_fold(n):
+        # O(G log G) run-length fold over the SORTED gram array: one
+        # pass accumulates both the (count, length, gram) struct max
+        # and the duplicated-char coverage — the distinct×scan
+        # quadratic (first cut) was ~100× this on long docs. Sentinel
+        # prev '' is safe: no gram is empty when tokens exist.
+        s = F.array_sort(grams_of(n))
+
+        def fin_best(acc):
+            return F.when(
+                acc["r"] >= 1,
+                F.greatest(
+                    acc["b"],
+                    F.struct(
+                        acc["r"].alias("c"),
+                        F.length(acc["p"]).cast("int").alias("l"),
+                        acc["p"].alias("g"),
+                    ),
+                ),
+            ).otherwise(acc["b"])
+
+        def fin_cov(acc):
+            return acc["v"] + F.when(
+                acc["r"] >= 2,
+                (acc["r"] * F.length(acc["p"])).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+
+        init = F.struct(
+            F.lit("").alias("p"),
+            F.lit(0).cast("int").alias("r"),
+            F.struct(
+                F.lit(-1).cast("int").alias("c"),
+                F.lit(0).cast("int").alias("l"),
+                F.lit("").alias("g"),
+            ).alias("b"),
+            F.lit(0).cast("long").alias("v"),
+        )
+        return F.aggregate(
+            s,
+            init,
+            lambda acc, x: F.when(
+                x == acc["p"],
+                F.struct(
+                    acc["p"].alias("p"),
+                    (acc["r"] + 1).alias("r"),
+                    acc["b"].alias("b"),
+                    acc["v"].alias("v"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("p"),
+                    F.lit(1).cast("int").alias("r"),
+                    fin_best(acc).alias("b"),
+                    fin_cov(acc).alias("v"),
+                )
+            ),
+            lambda acc: F.struct(
+                fin_best(acc).alias("b"), fin_cov(acc).alias("v")
+            ),
+        )
+
+    def top_frac(fold):
+        best = fold["b"]
+        return F.round(
+            F.when(
+                (nc > 0) & (best["c"] > 0),
+                (best["c"] * best["l"]).cast("double") / nc,
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    def dup_frac(fold):
+        return F.round(
+            F.when(
+                nc > 0,
+                F.least(fold["v"].cast("double") / nc, F.lit(1.0)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    line_f, line_cf = seg_signals(r"\n")
+    para_f, para_cf = seg_signals(r"\n\n")
+    cols = [
+        F.col(id_col).alias("id"),
+        line_f.alias("dup_line_frac"),
+        line_cf.alias("dup_line_char_frac"),
+        para_f.alias("dup_para_frac"),
+        para_cf.alias("dup_para_char_frac"),
+    ]
+    for n in top_ns:
+        cols.append(top_frac(gram_fold(n)).alias(f"top{n}_char_frac"))
+    for n in dup_ns:
+        cols.append(dup_frac(gram_fold(n)).alias(f"dup{n}_char_frac"))
+    return df.select(*cols)

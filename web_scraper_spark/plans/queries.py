@@ -4119,3 +4119,102 @@ def q108_winnow_fingerprints(spark, sf_dir):
     work: zero exchanges at any corpus size (PLANS.md)."""
     d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     return D.winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+
+
+def _rep_seg_sql(col: str) -> tuple[str, str]:
+    """(frac, char_frac) SQL for one unit list column (lines/paras)."""
+    dup = f"list_filter({col}, x -> len(list_filter({col}, y -> y = x)) >= 2)"
+    chars = "CAST(coalesce(list_aggregate(list_transform({a}, x -> length(x)), 'sum'), 0) AS DOUBLE)"
+    return (
+        f"round(CASE WHEN len({col}) > 0 THEN CAST(len({dup}) AS DOUBLE) / len({col}) ELSE 0.0 END, 6)",
+        f"round(CASE WHEN {chars.format(a=col)} > 0 THEN {chars.format(a=dup)} / {chars.format(a=col)} ELSE 0.0 END, 6)",
+    )
+
+
+def _rep_gram_sql(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, len(tk) - {n} + 1), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' '))"
+    )
+
+
+def _rep_top_sql(n: int) -> str:
+    g = _rep_gram_sql(n)
+    best = (
+        f"list_aggregate(list_transform(list_distinct({g}), "
+        f"d2 -> {{'c': len(list_filter({g}, x -> x = d2)), "
+        f"'l': length(d2), 'g': d2}}), 'max')"
+    )
+    return (
+        f"round(coalesce(CAST(({best}).c * ({best}).l AS DOUBLE) / nc, 0.0), 6) "
+        f"AS top{n}_char_frac"
+    )
+
+
+def _rep_dup_sql(n: int) -> str:
+    g = _rep_gram_sql(n)
+    cov = (
+        f"coalesce(CAST(list_aggregate(list_transform("
+        f"list_filter(list_distinct({g}), "
+        f"d2 -> len(list_filter({g}, x -> x = d2)) >= 2), "
+        f"d2 -> len(list_filter({g}, x -> x = d2)) * length(d2)), 'sum') "
+        f"AS DOUBLE), 0.0)"
+    )
+    return f"round(least({cov} / nc, 1.0), 6) AS dup{n}_char_frac"
+
+
+_REP_LINE_F, _REP_LINE_CF = _rep_seg_sql("lines")
+_REP_PARA_F, _REP_PARA_CF = _rep_seg_sql("paras")
+_REP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         'nav home' || chr(10) || text || chr(10) || 'nav home' ||
+         chr(10) || chr(10) || 'footer ' || source || chr(10) ||
+         chr(10) || 'footer ' || source AS t
+  FROM documents WHERE doc_id < 300),
+seg AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), s -> s <> '') AS lines,
+         list_filter(string_split(t, chr(10) || chr(10)), s -> s <> '')
+           AS paras,
+         string_split(trim(lower(regexp_replace(t, '\\s+', ' ', 'g'))), ' ')
+           AS tk,
+         length(trim(lower(regexp_replace(t, '\\s+', ' ', 'g')))) AS nc
+  FROM d)
+SELECT doc_id AS id,
+       {_REP_LINE_F} AS dup_line_frac,
+       {_REP_LINE_CF} AS dup_line_char_frac,
+       {_REP_PARA_F} AS dup_para_frac,
+       {_REP_PARA_CF} AS dup_para_char_frac,
+       {", ".join(_rep_top_sql(n) for n in (2, 3, 4))},
+       {", ".join(_rep_dup_sql(n) for n in (5, 6, 7, 8, 9, 10))}
+FROM seg
+"""
+
+
+@query("q109_repetition_signals", oracle=_REP_ORACLE)
+def q109_repetition_signals(spark, sf_dir):
+    """Full Gopher repetition-filter suite (operators/text.py:
+    repetition_signals — Rae et al. 2021 §A1.1): documents synthesize
+    a nav line duplicated around the body and a doubled footer
+    paragraph, so every rule family fires — duplicate line/paragraph
+    (count and char) fractions over RAW text, top-{2,3,4}-gram char
+    coverage with the (count, length, gram) struct-max tie-break, and
+    dup-{5..10}-gram char coverage capped at 1.0. The oracle
+    re-derives all 13 signals with DuckDB list lambdas over the same
+    unit definitions — a drifted split rule, tie-break, or cap
+    hash-fails. Engine side: pure per-row expressions, zero exchanges
+    (PLANS.md)."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("nav home\n"), F.col("text"), F.lit("\nnav home\n\n"),
+            F.lit("footer "), F.col("source"), F.lit("\n\n"),
+            F.lit("footer "), F.col("source"),
+        ).alias("t"),
+    )
+    # one small parquet = one input split; without this the heavy
+    # per-row expression pass runs in ONE task (the q100 lesson)
+    synth = synth.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return TX.repetition_signals(synth, "t", "doc_id")
