@@ -655,133 +655,89 @@ def repetition_signals(
     counting stays the direct O(U²) scan (U is tiny). Returns
     (id, <all signal columns>), one row per input document, all
     fractions rounded to 6."""
-    txt = F.col(text_col)
+    # All signals are built as SQL expression STRINGS (one F.expr per
+    # output column): the first cut composed them from pyspark Column
+    # calls and spent 2.6-5 s per job just constructing the tree over
+    # py4j (execution itself was 0.3-1 s). Same semantics, pinned by
+    # the same hand-value tests.
+    t = text_col
+    norm = f"trim(regexp_replace(lower({t}), '\\\\s+', ' '))"
+    toks = f"split({norm}, ' ')"
+    nc = f"length({norm})"
 
-    def seg_signals(sep_regex):
-        units = F.filter(F.split(txt, sep_regex, -1), lambda s: s != "")
-
-        def is_dup(x):
-            return F.size(F.filter(units, lambda y: y == x)) >= 2
-
-        dups = F.filter(units, is_dup)
-        chars = lambda a: F.aggregate(  # noqa: E731
-            a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    def seg_sql(sep):
+        units = f"filter(split({t}, '{sep}', -1), s -> s != '')"
+        dup = f"filter({units}, x -> size(filter({units}, y -> y = x)) >= 2)"
+        chars = "aggregate({a}, cast(0 as bigint), (acc, x) -> acc + length(x))"
+        frac = (
+            f"round(if(size({units}) > 0, "
+            f"cast(size({dup}) as double) / size({units}), 0.0), 6)"
         )
-        frac = F.when(
-            F.size(units) > 0,
-            F.size(dups).cast("double") / F.size(units),
-        ).otherwise(F.lit(0.0))
-        cfrac = F.when(
-            chars(units) > 0,
-            chars(dups).cast("double") / chars(units),
-        ).otherwise(F.lit(0.0))
-        return F.round(frac, 6), F.round(cfrac, 6)
-
-    norm = F.trim(F.regexp_replace(F.lower(txt), r"\s+", " "))
-    toks = F.split(norm, " ")
-    nt = F.size(toks)
-    nc = F.length(norm)
-
-    def grams_of(n):
-        return F.when(
-            nt >= n,
-            F.transform(
-                F.sequence(F.lit(0), nt - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def gram_fold(n):
-        # O(G log G) run-length fold over the SORTED gram array: one
-        # pass accumulates both the (count, length, gram) struct max
-        # and the duplicated-char coverage — the distinct×scan
-        # quadratic (first cut) was ~100× this on long docs. Sentinel
-        # prev '' is safe: no gram is empty when tokens exist.
-        s = F.array_sort(grams_of(n))
-
-        def fin_best(acc):
-            return F.when(
-                acc["r"] >= 1,
-                F.greatest(
-                    acc["b"],
-                    F.struct(
-                        acc["r"].alias("c"),
-                        F.length(acc["p"]).cast("int").alias("l"),
-                        acc["p"].alias("g"),
-                    ),
-                ),
-            ).otherwise(acc["b"])
-
-        def fin_cov(acc):
-            return acc["v"] + F.when(
-                acc["r"] >= 2,
-                (acc["r"] * F.length(acc["p"])).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-
-        init = F.struct(
-            F.lit("").alias("p"),
-            F.lit(0).cast("int").alias("r"),
-            F.struct(
-                F.lit(-1).cast("int").alias("c"),
-                F.lit(0).cast("int").alias("l"),
-                F.lit("").alias("g"),
-            ).alias("b"),
-            F.lit(0).cast("long").alias("v"),
+        cfrac = (
+            f"round(if({chars.format(a=units)} > 0, "
+            f"cast({chars.format(a=dup)} as double) / {chars.format(a=units)}, "
+            f"0.0), 6)"
         )
-        return F.aggregate(
-            s,
-            init,
-            lambda acc, x: F.when(
-                x == acc["p"],
-                F.struct(
-                    acc["p"].alias("p"),
-                    (acc["r"] + 1).alias("r"),
-                    acc["b"].alias("b"),
-                    acc["v"].alias("v"),
-                ),
-            ).otherwise(
-                F.struct(
-                    x.alias("p"),
-                    F.lit(1).cast("int").alias("r"),
-                    fin_best(acc).alias("b"),
-                    fin_cov(acc).alias("v"),
-                )
-            ),
-            lambda acc: F.struct(
-                fin_best(acc).alias("b"), fin_cov(acc).alias("v")
-            ),
+        return frac, cfrac
+
+    def fold_sql(n):
+        grams = (
+            f"if(size({toks}) >= {n}, "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))), "
+            f"cast(array() as array<string>))"
+        )
+        fin_best = (
+            "(case when acc.r >= 1 then greatest(acc.b, named_struct("
+            "'c', acc.r, 'l', cast(length(acc.p) as int), 'g', acc.p)) "
+            "else acc.b end)"
+        )
+        fin_cov = (
+            "(acc.v + case when acc.r >= 2 then "
+            "cast(acc.r * length(acc.p) as bigint) "
+            "else cast(0 as bigint) end)"
+        )
+        return (
+            f"aggregate(array_sort({grams}), "
+            "named_struct('p', '', 'r', 0, "
+            "'b', named_struct('c', -1, 'l', 0, 'g', ''), "
+            "'v', cast(0 as bigint)), "
+            "(acc, x) -> case when x = acc.p then "
+            "named_struct('p', acc.p, 'r', acc.r + 1, 'b', acc.b, 'v', acc.v) "
+            f"else named_struct('p', x, 'r', 1, 'b', {fin_best}, "
+            f"'v', {fin_cov}) end, "
+            f"acc -> named_struct('b', {fin_best}, 'v', {fin_cov}))"
         )
 
-    def top_frac(fold):
-        best = fold["b"]
-        return F.round(
-            F.when(
-                (nc > 0) & (best["c"] > 0),
-                (best["c"] * best["l"]).cast("double") / nc,
-            ).otherwise(F.lit(0.0)),
-            6,
-        )
-
-    def dup_frac(fold):
-        return F.round(
-            F.when(
-                nc > 0,
-                F.least(fold["v"].cast("double") / nc, F.lit(1.0)),
-            ).otherwise(F.lit(0.0)),
-            6,
-        )
-
-    line_f, line_cf = seg_signals(r"\n")
-    para_f, para_cf = seg_signals(r"\n\n")
-    cols = [
+    line_f, line_cf = seg_sql("\\n")
+    para_f, para_cf = seg_sql("\\n\\n")
+    inter = [
         F.col(id_col).alias("id"),
-        line_f.alias("dup_line_frac"),
-        line_cf.alias("dup_line_char_frac"),
-        para_f.alias("dup_para_frac"),
-        para_cf.alias("dup_para_char_frac"),
+        F.expr(nc).alias("_nc"),
+        F.expr(line_f).alias("dup_line_frac"),
+        F.expr(line_cf).alias("dup_line_char_frac"),
+        F.expr(para_f).alias("dup_para_frac"),
+        F.expr(para_cf).alias("dup_para_char_frac"),
+    ]
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        inter.append(F.expr(fold_sql(n)).alias(f"_f{n}"))
+    mid = df.select(*inter)
+    out = [
+        "id", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
     ]
     for n in top_ns:
-        cols.append(top_frac(gram_fold(n)).alias(f"top{n}_char_frac"))
+        out.append(
+            F.expr(
+                f"round(if(_nc > 0 and _f{n}.b.c > 0, "
+                f"cast(_f{n}.b.c * _f{n}.b.l as double) / _nc, 0.0), 6)"
+            ).alias(f"top{n}_char_frac")
+        )
     for n in dup_ns:
-        cols.append(dup_frac(gram_fold(n)).alias(f"dup{n}_char_frac"))
-    return df.select(*cols)
+        out.append(
+            F.expr(
+                f"round(if(_nc > 0, "
+                f"least(cast(_f{n}.v as double) / _nc, 1.0), 0.0), 6)"
+            ).alias(f"dup{n}_char_frac")
+        )
+    return mid.select(*out)
