@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "q102_incremental_dedup", "q103_incremental_curation",
     "q104_trap_urls", "q105_semdedup", "q106_line_dedup",
     "q107_anchor_text", "q108_winnow_fingerprints",
-    "q109_repetition_signals",
+    "q109_repetition_signals", "q110_url_blocklist",
 ]
 
 

@@ -582,3 +582,26 @@ def test_parse_robots_crlf_line_endings(spark):
     assert out[0]["crawl_delay"] == 3.0
     sm = robots_sitemaps(df).collect()
     assert [r.sitemap_url for r in sm] == ["https://a.x/sitemap.xml"]
+
+
+def test_url_blocklist_suffix_and_keyword(spark):
+    """apply_url_blocklist: exact domain AND any subdomain are blocked
+    (suffix equi-join), sibling domains survive, keywords filter
+    independently, and a partial-string 'domain' never matches (no
+    substring semantics)."""
+    from web_scraper_spark.crawl.frontier import apply_url_blocklist
+
+    urls = [
+        "https://bad.example/p",            # exact block
+        "https://a.bad.example/p",          # subdomain block
+        "https://notbad.example/p",         # suffix of name, NOT of domain
+        "https://good.example/p",           # kept
+        "https://good.example/casino/p",    # keyword block
+    ]
+    f = seeds_to_frontier(spark, urls)
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    got = {
+        r["url"]
+        for r in apply_url_blocklist(f, bl, ["casino"]).collect()
+    }
+    assert got == {"https://notbad.example/p", "https://good.example/p"}

@@ -66,6 +66,7 @@ SHOW = [
     ("q107_anchor_text", "anchor-text corpus: pruned Arrow pass ships only the anchors array; (target,text) groupBy + window over the aggregate, modal election"),
     ("q108_winnow_fingerprints", "winnowing fingerprints: pure per-row expression (transform + window folds) — zero exchanges, zero UDFs at any corpus size"),
     ("q109_repetition_signals", "Gopher repetition suite: 13 per-doc signals as run-length folds over sorted gram arrays — scan → project, zero exchanges"),
+    ("q110_url_blocklist", "URL blocklist: host-suffix explode + broadcast semi-join (no LIKE scan), keyword rule in the scan's codegen stage"),
 ]
 
 

@@ -119,6 +119,44 @@ def apply_url_filters(
     return out
 
 
+def apply_url_blocklist(
+    frontier: DataFrame,
+    blocked_domains: DataFrame | None = None,
+    keywords: list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1: the
+    UT1-blocklist + URL-keyword stage): drop rows whose host — or any
+    parent domain — appears in ``blocked_domains`` (one ``domain``
+    column), and rows whose URL contains any of ``keywords``.
+
+    Scale shape: the keyword rule is the P5 pure predicate (codegen,
+    no exchange). Domain containment explodes each host into its ≤
+    label-count dot-suffixes (columns.host_suffixes) and semi-joins
+    the BROADCAST blocklist on equality — no LIKE scan, no
+    per-(row × entry) work; the matched-url set then anti-joins back
+    on the url key. Two narrow url-keyed exchanges total, both
+    elidable by AQE when the match set is small."""
+    out = frontier
+    if keywords:
+        out = out.filter(~C.matches_ignore_patterns(F.col(url_col), list(keywords)))
+    if blocked_domains is not None:
+        bl = F.broadcast(blocked_domains.select(F.col("domain").alias("_sfx")))
+        hit = (
+            out.select(
+                F.col(url_col),
+                F.explode(
+                    C.host_suffixes(C.url_host(F.col(url_col)))
+                ).alias("_sfx"),
+            )
+            .join(bl, "_sfx", "left_semi")
+            .select(url_col)
+            .distinct()
+        )
+        out = out.join(hit, url_col, "left_anti")
+    return out
+
+
 # ---------------------------------------------------------------------
 # URL-seen sketch: build / merge / probe
 # ---------------------------------------------------------------------

@@ -159,6 +159,21 @@ def matches_ignore_patterns(url: Column, patterns: list[str]) -> Column:
     return cond
 
 
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname, most-specific first:
+    ``a.b.com → [a.b.com, b.com, com]`` — the equi-join key set for
+    domain-blocklist matching (an entry for ``b.com`` must catch every
+    subdomain; suffix expansion turns that containment into a plain
+    broadcast equi-join instead of a LIKE scan). Pure Column
+    expression; ≤ label-count elements per row."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(".", F.slice(labels, i + 1, n - i)),
+    )
+
+
 def is_crawler_trap(
     url: Column,
     max_path_depth: int = 12,

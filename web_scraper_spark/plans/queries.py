@@ -4218,3 +4218,58 @@ def q109_repetition_signals(spark, sf_dir):
     # per-row expression pass runs in ONE task (the q100 lesson)
     synth = synth.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return TX.repetition_signals(synth, "t", "doc_id")
+
+
+@query(
+    "q110_url_blocklist",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 600),
+    u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN 'shop.' ELSE '' END ||
+               source || '.example.com' AS host,
+             CASE WHEN doc_id % 11 = 0 THEN '/casino/d' ELSE '/docs/d' END
+               || doc_id AS path
+      FROM d),
+    urls AS (SELECT doc_id, 'https://' || host || path AS url, host FROM u),
+    bl AS (SELECT DISTINCT source || '.example.com' AS domain FROM d
+           WHERE CAST(substr(source, 4) AS INT) % 3 = 0)
+    SELECT url FROM urls
+    WHERE NOT contains(url, 'casino')
+      AND NOT EXISTS (SELECT 1 FROM bl
+                      WHERE urls.host = bl.domain
+                         OR urls.host LIKE '%.' || bl.domain)
+    """,
+)
+def q110_url_blocklist(spark, sf_dir):
+    """RefinedWeb URL filtering (crawl/frontier.py:apply_url_blocklist
+    — UT1-blocklist + keyword stage): every third source's domain is
+    blocklisted, every fourth URL lives on a 'shop.' SUBDOMAIN of its
+    source (the suffix-expansion case a naive host equality misses),
+    and every eleventh path carries a blocked keyword. The survivors
+    must reflect domain containment (host_suffixes equi-join against
+    the broadcast blocklist) AND the keyword predicate; the oracle
+    replays containment with an EXISTS over exact-or-dot-suffix
+    matches — a missed subdomain or an over-broad substring match
+    hash-fails."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    i = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.when(F.col("doc_id") % 4 == 1, F.lit("shop.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com"),
+    )
+    path = F.concat(
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/casino/d")).otherwise(
+            F.lit("/docs/d")
+        ),
+        i,
+    )
+    f = d.select(F.concat(F.lit("https://"), host, path).alias("url"))
+    bl = (
+        d.filter(F.substring("source", 4, 10).cast("int") % 3 == 0)
+        .select(F.concat("source", F.lit(".example.com")).alias("domain"))
+        .distinct()
+    )
+    from ..crawl.frontier import apply_url_blocklist
+
+    return apply_url_blocklist(f, bl, ["casino"]).select("url")
