@@ -599,3 +599,44 @@ def test_trap_filter_in_round_loop(spark, tmp_path):
                     r["url"] for r in spark.read.parquet(p).collect()
                 }
         assert fetched == want, (flag, fetched)
+
+
+def test_blocklist_in_round_loop(spark, tmp_path):
+    """run_crawl(blocklist=...) drops blocked-domain discoveries —
+    including subdomains — before they are ever scheduled; without the
+    blocklist the same link is crawled."""
+    import datetime as _dt
+
+    from web_scraper_spark.sources.pages import PAGES_SCHEMA
+
+    seed = "https://site0.example.com/start"
+    sub = "https://cdn.blocked.example/asset"
+    ok = "https://site0.example.com/docs/fine"
+    ts = _dt.datetime(2024, 1, 1)
+    html = (
+        f'<html><body><a href="{sub}">b</a>'
+        f'<a href="{ok}">o</a></body></html>'
+    ).encode()
+    rows = [
+        (seed, ts, html, "", "en"),
+        (sub, ts, b"<html><body>x</body></html>", "", "en"),
+        (ok, ts, b"<html><body>y</body></html>", "", "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    bl = spark.createDataFrame([("blocked.example",)], "domain string")
+    for blocklist, want in ((None, {seed, sub, ok}), (bl, {seed, ok})):
+        ck = str(tmp_path / f"ck_{blocklist is None}")
+        cfg = CrawlConfig(
+            ckpt_dir=ck, quota_per_host=16, max_depth=2, n_shards=4
+        )
+        run_crawl(
+            spark, cfg, pages, None, [seed], n_rounds=2, blocklist=blocklist
+        )
+        fetched = set()
+        for rnd in (0, 1):
+            p = os.path.join(ck, f"round={rnd}", "fetch_log")
+            if os.path.exists(p):
+                fetched |= {
+                    r["url"] for r in spark.read.parquet(p).collect()
+                }
+        assert fetched == want, (blocklist, fetched)

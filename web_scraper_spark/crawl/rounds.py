@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..functions import columns as C
 from ..functions.udfs import extract_pages
 from .frontier import (
+    apply_url_blocklist,
     FRONTIER_SCHEMA,
     apply_url_filters,
     build_seen_shards,
@@ -233,9 +234,13 @@ def run_round(
     pages: DataFrame,
     robots: DataFrame | None,
     round_id: int,
+    blocklist: DataFrame | None = None,
 ) -> dict:
     """Execute one crawl round from the state committed at
-    ``round_id - 1`` and commit ``round=round_id``. Returns metrics."""
+    ``round_id - 1`` and commit ``round=round_id``. Returns metrics.
+    ``blocklist`` (a ``domain`` table, RefinedWeb's UT1 stage) drops
+    blocked hosts and their subdomains ahead of the seen probe —
+    apply_url_blocklist's broadcast suffix join."""
     t0 = time.time()
     prev = _round_dir(cfg, round_id - 1)
     frontier = _read(spark, os.path.join(prev, "frontier"))
@@ -252,6 +257,8 @@ def run_round(
         ignore_patterns=cfg.ignore_patterns,
         trap_filter=cfg.trap_filter,
     )
+    if blocklist is not None:
+        candidates = apply_url_blocklist(candidates, blocklist)
     round_caches: list[DataFrame] = []
     fresh = probe_seen(
         candidates, shards, seen, cfg.n_shards,
@@ -611,6 +618,7 @@ def run_crawl(
     resume: bool = False,
     seed_sitemaps: DataFrame | None = None,
     seed_frontier: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
 ) -> list[dict]:
     """Run (or resume) a crawl for up to ``n_rounds`` rounds.
 
@@ -641,7 +649,7 @@ def run_crawl(
         start = 0
     stats = []
     for rid in range(start, start + n_rounds):
-        m = run_round(spark, cfg, pages, robots, rid)
+        m = run_round(spark, cfg, pages, robots, rid, blocklist=blocklist)
         stats.append(m)
         if m["scheduled"] == 0:
             break
