@@ -515,6 +515,8 @@ def bm25_topk(
     b: float = 0.75,
     max_df_frac: float = 0.5,
     persist: bool = False,
+    dense: bool = False,
+    prefilter_mod: int = 0,
 ) -> DataFrame:
     """Lexical similarity search: BM25 top-k retrieval over an
     inverted index built from the corpus — the sparse complement to
@@ -560,11 +562,45 @@ def bm25_topk(
     small inputs where the extra materialization costs more than the
     recompute.
 
+    ``dense=True`` selects the dense-corpus scoring shape (optimization
+    guide §2.3/§2.4 "shuffle keys and metadata, aggregate before you
+    shuffle" applied to retrieval): when query terms hit a constant
+    fraction of the corpus — tiny vocabularies, stopword-heavy query
+    logs — the inverted-index join emits Θ(|pairs|·|terms/query|) rows
+    that must then be re-aggregated per (query, doc) through an
+    exchange with ~|Q|·|N| groups, which dominates the runtime. The
+    dense path instead computes, IN-ROW and with zero extra exchanges:
+    (1) a per-document term-frequency map from the sorted token array,
+    (2) a per-document term→contrib map (same BM25 double arithmetic,
+    restricted to uncapped query terms via a broadcast idf map), and
+    (3) the per-(query, doc) score by probing that map with each
+    query's distinct terms under a broadcast nested-loop over the
+    (assumed small) query side — pairs with no matching uncapped term
+    are dropped, exactly the inverted index's candidate set. Only the
+    final top-k window shuffles, and WindowGroupLimit bounds what it
+    moves. For SELECTIVE workloads (big vocabulary, rare query terms)
+    keep ``dense=False``: there the index join emits few candidates
+    and the all-pairs enumeration would be Θ(|Q|·N).
+
+    ``prefilter_mod`` (dense path only, 0 = off) inserts an exact
+    sample-derived score floor before the ranking window: the k-th
+    best score over the 1/mod deterministic document subsample
+    (xxhash64-bucketed) is a LOWER bound on the k-th best over all
+    documents, so filtering the full pair stream to ``score >= floor``
+    before the exchange keeps every true top-k row while cutting the
+    window's input by ~mod× (the WAND-style upper-bound idea, with a
+    sound bound from a subsample instead of term maxima).
+
     Returns (query_id, doc_id, rank, score_micros, n_terms).
     """
     tok = lambda c: F.split(
         F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " "
     )
+    if dense:
+        return _bm25_topk_dense(
+            docs, queries, text_col, id_col, q_text_col, qid_col,
+            k, k1, b, max_df_frac, persist, prefilter_mod, tok,
+        )
     base = docs.select(F.col(id_col).alias("doc_id"), tok(F.col(text_col)).alias("t"))
     tf = (
         base.select(
@@ -627,5 +663,191 @@ def bm25_topk(
     )
     if persist:
         out = materialize(out)
+        tf.unpersist()
+    return out
+
+
+def _bm25_topk_dense(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    q_text_col: str,
+    qid_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_frac: float,
+    persist: bool,
+    prefilter_mod: int,
+    tok,
+) -> DataFrame:
+    """Dense-corpus BM25 scoring shape (see :func:`bm25_topk`,
+    ``dense=True``). Bit-identical to the inverted-index path: the tf
+    table, corpus stats, df cap and per-(term, doc) contribution keep
+    the sparse path's exact expression trees; only the per-(query,
+    doc) aggregation moves — from a post-join groupBy over the
+    Θ(pairs × terms) row stream into an in-row integer sum over a
+    per-document term→contrib map (integer micros are
+    order-independent, so the sum is the same BIGINT either way)."""
+    # --- tf table and corpus stats: VERBATIM the sparse path (plus a
+    # round-robin repartition ahead of the explode: a compact parquet
+    # file may plan only 1-2 input splits, which would serialize the
+    # tokenize+partial-aggregate work; scale-adaptive count, tiny
+    # rows-only shuffle)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tok(F.col(text_col)).alias("t")
+    ).repartition(n_parts)
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("t").cast("long").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
+    if persist:
+        tf = tf.persist()
+    stats = base.select(F.size("t").cast("long").alias("dl")).agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qdf = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.array_distinct(tok(F.col(q_text_col))).alias("qt"),
+    )
+    qterm_df = qdf.select(F.explode("qt").alias("term")).distinct()
+    term_stats = (
+        dfreq.join(F.broadcast(qterm_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df")
+            <= F.floor(F.lit(max_df_frac) * F.col("n")).cast("long")
+        )
+    )
+    # --- per-(term, doc) contribution: the sparse path's Project.
+    # The surviving (df-capped, query-restricted) term set is tiny by
+    # the operator's contract, so terms get dense INTEGER ids
+    # (row_number over the sorted term list) and each document folds
+    # its contribs into a positional array — pair probing is then an
+    # O(1) codegen array index instead of a string-keyed map scan
+    # (measured 11.9 s → ~4 s over the 5*10^7-pair stream at sf1.0).
+    # Documents with no uncapped query term drop out here, exactly
+    # the candidate set the inverted index would produce.
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tfc = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * ((1 - b) + b * (F.col("dl") / F.col("avgdl")))
+    )
+    term_ids = term_stats.withColumn(
+        "_tid", F.row_number().over(Window.orderBy("term")) - 1
+    )
+    contribs = tf.join(F.broadcast(term_ids), "term").select(
+        "doc_id",
+        "_tid",
+        F.round(idf * tfc * 1000000).cast("long").alias("_c"),
+    )
+    nv_row = term_ids.agg(F.count("*").alias("_nv"))
+    carr = F.transform(
+        F.sequence(F.lit(0), F.col("_nv") - 1),
+        lambda i: F.try_element_at(F.col("_m"), i),
+    )
+    cdocs = (
+        contribs.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_tid"), F.col("_c")))
+            ).alias("_m")
+        )
+        .crossJoin(F.broadcast(nv_row))
+        .select("doc_id", carr.alias("carr"))
+    )
+    if persist:
+        cdocs = cdocs.persist()
+
+    # --- query terms → dense ids (small side, the interpreted HOF
+    # lookup cost is per QUERY row, not per pair)
+    idmap_row = term_ids.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("_tid")))
+        ).alias("_idmap")
+    )
+    qids = qdf.crossJoin(F.broadcast(idmap_row)).select(
+        "query_id",
+        F.transform(
+            F.col("qt"), lambda t: F.try_element_at(F.col("_idmap"), t)
+        ).alias("qtid"),
+    )
+
+    # --- pair scores in-row: probe the contrib array with each
+    # query's term ids under a broadcast nested-loop over the small
+    # query side; pairs with no uncapped matching term are dropped.
+    # The probes are expanded to FIXED per-term slots (slot count =
+    # the query side's max distinct term count, read with one tiny
+    # action on the small side): F.get/try_element_at are whole-stage-
+    # codegen while transform/filter/aggregate HOFs are interpreted
+    # CodegenFallback — measured 25.6 s vs ~4 s over the 5*10^7-pair
+    # stream at sf1.0.
+    max_qt = qdf.agg(F.max(F.size("qt"))).first()[0] or 0
+    slots = max(int(max_qt), 1)
+
+    def _pairs(sd: DataFrame) -> DataFrame:
+        p = sd.crossJoin(F.broadcast(qids))
+        p = p.select(
+            "query_id",
+            "doc_id",
+            *[
+                F.get(
+                    F.col("carr"), F.try_element_at(F.col("qtid"), F.lit(i))
+                ).alias(f"_c{i}")
+                for i in range(1, slots + 1)
+            ],
+        )
+        zero = F.lit(0).cast("long")
+        score = F.coalesce(F.col("_c1"), zero)
+        n_terms = F.col("_c1").isNotNull().cast("int")
+        for i in range(2, slots + 1):
+            score = score + F.coalesce(F.col(f"_c{i}"), zero)
+            n_terms = n_terms + F.col(f"_c{i}").isNotNull().cast("int")
+        return p.select(
+            "query_id",
+            "doc_id",
+            score.alias("score_micros"),
+            n_terms.cast("long").alias("n_terms"),
+        ).filter(F.col("n_terms") > 0)
+
+    pairs = _pairs(cdocs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    if prefilter_mod > 1:
+        # exact score floor from a deterministic 1/mod doc subsample:
+        # the k-th best subsample score per query can only UNDERSHOOT
+        # the true k-th best, so `score >= floor` keeps all top-k rows
+        sample = cdocs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(prefilter_mod)) == 0
+        )
+        thr = (
+            _pairs(sample)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == k)
+            .select("query_id", F.col("score_micros").alias("_floor"))
+        )
+        pairs = pairs.join(F.broadcast(thr), "query_id", "left").filter(
+            F.col("score_micros")
+            >= F.coalesce(F.col("_floor"), F.lit(-(1 << 62)).cast("long"))
+        ).drop("_floor")
+    out = (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_micros", "n_terms")
+    )
+    if persist:
+        out = materialize(out)
+        cdocs.unpersist()
         tf.unpersist()
     return out

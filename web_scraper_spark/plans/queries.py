@@ -2481,7 +2481,10 @@ def q83_bm25_topk(spark, sf_dir):
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(toks, 1, 5)).alias("q_text"),
     )
-    out = S.bm25_topk(d, qs, k=10, max_df_frac=0.78, persist=True)
+    out = S.bm25_topk(
+        d, qs, k=10, max_df_frac=0.78, persist=True,
+        dense=True, prefilter_mod=16,
+    )
     return out.select(
         "query_id", "doc_id", F.col("rank").alias("rnk"), "score_micros", "n_terms"
     )
