@@ -1264,6 +1264,54 @@ def test_bm25_topk_ranking_and_tiebreak(spark):
     assert full[1]["score_micros"] == full[2]["score_micros"]
 
 
+def test_bm25_topk_dense_matches_sparse(spark):
+    """The dense scoring path (in-row contrib-array probing) is
+    row-identical to the inverted-index path on a corpus exercising
+    df caps, ties, multi-term queries, unmatched queries and the
+    sample-derived prefilter floor."""
+    from web_scraper_spark.operators.similarity import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle needle common x"),
+            (2, "hay common y z"),
+            (3, "hay common y z"),
+            (4, "common a b c"),
+            (5, "term term term pad"),
+            (6, "term pad pad pad"),
+            (7, "term pad pad pad"),
+            (8, "x1 x2 x3 x4"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [
+            (100, "needle common"),
+            (101, "term pad"),
+            (102, "absent words only"),
+            (103, "hay"),
+        ],
+        "query_id long, q_text string",
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    for kwargs in (
+        {},
+        {"k": 2},
+        {"max_df_frac": 0.9},
+    ):
+        sparse = sorted(bm25_topk(docs, qs, **kwargs).collect(), key=key)
+        for pf in (0, 2):
+            dense = sorted(
+                bm25_topk(
+                    docs, qs, dense=True, prefilter_mod=pf, **kwargs
+                ).collect(),
+                key=key,
+            )
+            assert [tuple(r) for r in dense] == [tuple(r) for r in sparse], (
+                kwargs, pf,
+            )
+
+
 def test_integer_pagerank_manual(spark):
     """Hand-computed two-iteration ranks on a 3-node chain plus a
     dangling sink; repartitioned input gives identical ranks (integer
@@ -1474,6 +1522,39 @@ def test_integer_pagerank_python_parity(spark):
             inc[b] = inc.get(b, 0) + rank[a] // outdeg[a]
         rank = {v: 150_000 + (85 * inc.get(v, 0)) // 100 for v in nodes}
     assert got == rank
+
+
+def test_duplicate_spans_xx64_digest_matches_md5(spark):
+    """The xx64 window-digest option (narrow shuffle keys) produces
+    the same spans and cut output as md5 under both policies — the
+    digests are internal keys only."""
+    from web_scraper_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "a c d e f g q r x y z"),
+        (2, "c d e f g"),
+        (3, "p x y z"),
+        (4, "unrelated words only"),
+        (5, "c d e f g q r x y z a"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    for policy in ("cut_all", "keep_first"):
+        a = duplicate_spans(
+            df, "text", "id", window=3, min_docs=2, policy=policy
+        )
+        b = duplicate_spans(
+            df, "text", "id", window=3, min_docs=2, policy=policy,
+            digest="xx64",
+        )
+        sa = sorted(map(tuple, a.collect()))
+        sb = sorted(map(tuple, b.collect()))
+        assert sa == sb, policy
+        ca = sorted(map(tuple, remove_duplicate_spans(df, a, "text", "id").collect()))
+        cb = sorted(map(tuple, remove_duplicate_spans(df, b, "text", "id").collect()))
+        assert ca == cb, policy
 
 
 def test_duplicate_spans_keep_first_policy(spark):

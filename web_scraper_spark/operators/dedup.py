@@ -466,11 +466,12 @@ def jaccard_pairs(
 
 
 def _window_hash_rows(
-    df: DataFrame, text_col: str, id_col: str, window: int
+    df: DataFrame, text_col: str, id_col: str, window: int,
+    digest: str = "md5",
 ) -> DataFrame:
-    """(id, pos, h) rows: md5 of every ``window``-token rolling window
-    (stride 1) over the normalized token stream; only complete windows
-    emit (docs shorter than the window contribute nothing).
+    """(id, pos, h) rows: a digest of every ``window``-token rolling
+    window (stride 1) over the normalized token stream; only complete
+    windows emit (docs shorter than the window contribute nothing).
 
     Built as ``lead()`` compositions over the exploded token stream —
     whole-stage-codegen window functions, one exchange on the doc id.
@@ -479,7 +480,17 @@ def _window_hash_rows(
     interpreted, re-touching the token array per window — measured 6×
     slower at sf0.1 (10 s vs 1.7 s for 236k windows); this form is
     also the one that keeps working when single documents are huge
-    (the array form materializes all windows of a doc in one row)."""
+    (the array form materializes all windows of a doc in one row).
+
+    ``digest`` picks the window key: ``"md5"`` (32-hex string, the
+    engine-portable default — bench digest tables are md5 so the
+    decontamination join keys stay comparable across engines) or
+    ``"xx64"`` (xxhash64 BIGINT — optimization guide §2.3 "narrower
+    types": 8-byte shuffle/broadcast keys instead of 56-byte hex
+    strings for the shared-set aggregate and the flagged semi-join;
+    the digests never appear in results, so any injective-in-practice
+    window key yields identical spans — 64-bit collision odds over n
+    windows are ~n²/2⁶⁵)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "tok"),
@@ -487,10 +498,13 @@ def _window_hash_rows(
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, window)]
     last = F.lead("tok", window - 1).over(w)
+    hfn = F.md5 if digest == "md5" else F.xxhash64
+    if digest not in ("md5", "xx64"):
+        raise ValueError(f"digest must be 'md5' or 'xx64', got {digest!r}")
     return (
         toks.select("id", "pos", F.concat_ws(" ", *parts).alias("_win"), last.alias("_l"))
         .filter(F.col("_l").isNotNull())
-        .select("id", "pos", F.md5("_win").alias("h"))
+        .select("id", "pos", hfn("_win").alias("h"))
     )
 
 
@@ -503,7 +517,8 @@ def _n_windows(text: Column, window: int) -> Column:
 
 
 def _sampled_window_rows(
-    df: DataFrame, text_col: str, id_col: str, window: int, sample_mod: int
+    df: DataFrame, text_col: str, id_col: str, window: int, sample_mod: int,
+    digest: str = "md5",
 ) -> DataFrame:
     """(id, pos, h) window rows, optionally CONTENT-DEFINED sampled:
     keep a window iff the first 16 bits of its md5 digest ≡ 0 mod
@@ -514,7 +529,13 @@ def _sampled_window_rows(
     stride-aligned. Shuffle/aggregate volume drops ~``sample_mod``×;
     a duplicated region with k complete windows is still detected
     with probability 1 − (1 − 1/sample_mod)^k (≥ 95% at k ≥ 3·mod)."""
-    rows = _window_hash_rows(df, text_col, id_col, window)
+    if sample_mod > 1 and digest != "md5":
+        raise ValueError(
+            "content-defined sampling (sample_mod > 1) is pinned to the "
+            "md5 digest — the kept-window set is part of the operator's "
+            "documented semantics"
+        )
+    rows = _window_hash_rows(df, text_col, id_col, window, digest=digest)
     if sample_mod > 1:
         keep = (
             F.conv(F.substring(F.col("h"), 1, 4), 16, 10).cast("long")
@@ -532,6 +553,7 @@ def duplicate_span_stats(
     window: int = 8,
     min_docs: int = 2,
     persist: bool = False,
+    digest: str = "md5",
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span statistics — the signal behind
     suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
@@ -552,7 +574,7 @@ def duplicate_span_stats(
     second corpus scan. Default off: gate/test scale recomputes
     cheaply. Returns (id, n_windows, n_dup_windows, dup_fraction).
     """
-    exploded = _window_hash_rows(df, text_col, id_col, window)
+    exploded = _window_hash_rows(df, text_col, id_col, window, digest=digest)
     if persist:
         exploded = exploded.persist()
     shared = (
@@ -593,6 +615,7 @@ def duplicate_spans(
     sample_mod: int = 1,
     persist: bool = False,
     policy: str = "cut_all",
+    digest: str = "md5",
 ) -> DataFrame:
     """Merged duplicated-token INTERVALS per document — the span-level
     output of ExactSubstr dedup (which tokens to cut, not just how
@@ -635,7 +658,9 @@ def duplicate_spans(
         raise ValueError(
             f"policy must be 'cut_all' or 'keep_first', got {policy!r}"
         )
-    exploded = _sampled_window_rows(df, text_col, id_col, window, sample_mod)
+    exploded = _sampled_window_rows(
+        df, text_col, id_col, window, sample_mod, digest=digest
+    )
     if persist:
         exploded = exploded.persist()
     shared = (
@@ -1240,19 +1265,19 @@ def remove_duplicate_spans(
     Coordinates are the NORMALIZED token positions duplicate_spans
     emits (0-based, span_end inclusive, over normalize_text tokens),
     so the returned ``clean_text`` is normalized tokens re-joined
-    with single spaces. Scale shape — ONE corpus scan: the caller's
-    span set is first merged per doc into disjoint intervals (a
-    window over the spans table only — spans ≪ corpus), then tokens
-    explode once, a single LEFT range join on the doc id marks
-    coverage (the merge guarantees at most one span matches a token,
-    so the join can never duplicate token rows even on overlapping
-    input spans), and ONE groupBy(id) folds total count, removed
-    count, and the surviving text together. The token stream crosses
-    at most one exchange (join and groupBy share the id key; with a
-    broadcast span side, only the groupBy exchanges) — vs the naive
-    two corpus scans (tokens + a separate totals pass) and a final
-    join. Order is restored via array_sort on (pos, token) structs
-    (never collect_list order). Docs with every token covered return
+    with single spaces. Scale shape — ONE corpus scan and ZERO
+    corpus-side exchanges: the caller's span set is first merged per
+    doc into disjoint intervals (a window over the spans table only —
+    spans ≪ corpus) and folded into one interval-array row per doc;
+    that skinny directory broadcast-joins the corpus, and the cut is
+    a per-row positional ``filter`` over the token array (a token
+    survives iff no interval covers its index) re-joined in place —
+    order is positional by construction, so no sort is ever needed.
+    The r1–r6 shape (token posexplode → range join → groupBy(id) with
+    array_sort(collect_list(...)) reassembly) moved every token
+    through an exchange and a per-doc sort; measured 2.6 s → 0.9 s
+    for the q80 cut step at sf1.0 (guide §2.4: remove shuffles
+    outright). Docs with every token covered return
     ``clean_text = ''``; docs with no spans pass through normalized.
 
     Returns (id, clean_text, n_tokens_kept, n_tokens_removed).
@@ -1276,45 +1301,39 @@ def remove_duplicate_spans(
         )
         .groupBy("s_id", "_g")
         .agg(F.min("s0").alias("s0"), F.max("s1").alias("s1"))
-        .select("s_id", "s0", "s1")
+        .groupBy("s_id")
+        .agg(F.collect_list(F.struct("s0", "s1")).alias("_iv"))
     )
-    toks = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
+        F.split(normalize_text(F.col(text_col)), " ").alias("_t"),
+    )
+    joined = base.join(
+        F.broadcast(sp), base["id"] == sp["s_id"], "left"
+    ).select("id", "_t", F.coalesce(F.col("_iv"), F.array()).alias("_iv"))
+    covered = lambda i: F.exists(
+        F.col("_iv"), lambda s: (i >= s["s0"]) & (i <= s["s1"])
+    )
+    kept = F.filter(F.col("_t"), lambda x, i: ~covered(i))
+    out = joined.select(
+        "id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.when(F.col("_t").isNull(), F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.when(F.col("_t").isNull(), F.lit(0))
+        .otherwise(F.size("_t"))
+        .cast("long")
+        .alias("_n"),
+    )
+    return out.select(
+        "id",
+        "clean_text",
+        "n_tokens_kept",
+        (F.col("_n") - F.col("n_tokens_kept")).cast("long").alias(
+            "n_tokens_removed"
         ),
-    )
-    marked = toks.join(
-        sp,
-        (F.col("id") == F.col("s_id"))
-        & (F.col("pos") >= F.col("s0"))
-        & (F.col("pos") <= F.col("s1")),
-        "left",
-    )
-    kept_struct = F.when(
-        F.col("s_id").isNull() & F.col("pos").isNotNull(), F.struct("pos", "tok")
-    )
-    return (
-        marked.groupBy("id")
-        .agg(
-            F.count("pos").cast("long").alias("_n"),
-            F.count("s_id").cast("long").alias("n_tokens_removed"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
-        )
-        .select(
-            "id",
-            "clean_text",
-            (F.col("_n") - F.col("n_tokens_removed"))
-            .cast("long")
-            .alias("n_tokens_kept"),
-            "n_tokens_removed",
-        )
     )
 
 

@@ -1527,7 +1527,10 @@ def q77_duplicate_span_ranges(spark, sf_dir):
     one per-doc ordering window; the oracle re-derives the interval
     merge with the same lag/cumsum sessionize."""
     d = _load(spark, sf_dir, "documents")
-    out = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2, persist=True)
+    out = D.duplicate_spans(
+        d, "text", "doc_id", window=8, min_docs=2, persist=True,
+        digest="xx64",
+    )
     return out.select(
         F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
     )
@@ -1594,7 +1597,10 @@ def q80_remove_spans(spark, sf_dir):
     md5'd for the hash compare (long strings); the oracle re-derives
     the spans and the cut with a NOT-EXISTS range condition."""
     d = _load(spark, sf_dir, "documents")
-    spans = D.duplicate_spans(d, "text", "doc_id", window=8, min_docs=2, persist=True)
+    spans = D.duplicate_spans(
+        d, "text", "doc_id", window=8, min_docs=2, persist=False,
+        digest="xx64",
+    )
     out = D.remove_duplicate_spans(d, spans, "text", "doc_id")
     return out.select(
         F.col("id").alias("doc_id"),
@@ -2778,7 +2784,7 @@ def q89_keep_first_spans(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     out = D.duplicate_spans(
         d, "text", "doc_id", window=8, min_docs=2, persist=True,
-        policy="keep_first",
+        policy="keep_first", digest="xx64",
     )
     return out.select(
         F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
@@ -2857,8 +2863,8 @@ def q91_keep_first_pipeline(spark, sf_dir):
     merge, and the NOT-EXISTS range cut in SQL."""
     d = _load(spark, sf_dir, "documents")
     spans = D.duplicate_spans(
-        d, "text", "doc_id", window=8, min_docs=2, persist=True,
-        policy="keep_first",
+        d, "text", "doc_id", window=8, min_docs=2, persist=False,
+        policy="keep_first", digest="xx64",
     )
     out = D.remove_duplicate_spans(d, spans, "text", "doc_id")
     return out.select(
