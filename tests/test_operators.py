@@ -1087,27 +1087,47 @@ def test_unigram_surprisal_ordering(spark):
 
 def test_unigram_surprisal_vocab_broadcast_guard(spark):
     """The corpus-derived counts table is broadcast only under the
-    vocabulary budget: above it the hint is dropped (shuffle join on
-    tok — the right plan for a billion-token vocabulary, where a
-    forced broadcast would OOM) with IDENTICAL results."""
+    session broadcast budget, decided by AQE from the counts table's
+    RUNTIME size (r7: the r6 shape's dedicated vocabulary-probe pass
+    is gone): under the budget the executed plan hash-broadcasts the
+    counts side; with broadcasts disabled it falls back to a shuffle
+    join on tok — the right plan for a billion-token vocabulary,
+    where a forced broadcast would OOM — with IDENTICAL results."""
     from web_scraper_spark.operators.text import unigram_surprisal
 
     rows = [(i, "common words repeated " * 5) for i in range(20)]
     rows.append((100, "zyzzyva qwertyuiop xylophone"))
     df = spark.createDataFrame(rows, "id int, text string")
 
+    def final_plan(out):
+        out.collect()  # AQE finalizes join strategies at execution
+        return out._jdf.queryExecution().executedPlan().toString()
+
     small = unigram_surprisal(df, "text", "id")
-    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
-
-    big = unigram_surprisal(df, "text", "id", max_broadcast_vocab=1)
-    plan = big._jdf.queryExecution().executedPlan().toString()
-    # the 1-row total still broadcasts (as a nested-loop cross join);
-    # the counts EQUI-join must not hash-broadcast — it shuffles
-    assert plan.count("BroadcastHashJoin") == 0, plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
-
     a = sorted(map(tuple, small.collect()))
-    b = sorted(map(tuple, big.collect()))
+    assert "BroadcastHashJoin" in final_plan(small)
+
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    for k, v in thresholds.items():
+        spark.conf.set(k, v)
+    try:
+        big = unigram_surprisal(df, "text", "id")
+        b = sorted(map(tuple, big.collect()))
+        plan = final_plan(big)
+        # the 1-row total still broadcasts (as a nested-loop cross
+        # join); the counts EQUI-join must not hash-broadcast
+        assert plan.count("BroadcastHashJoin") == 0, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert a == b
 
 
