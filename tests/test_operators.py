@@ -1320,15 +1320,18 @@ def test_bm25_topk_dense_matches_sparse(spark):
         {"max_df_frac": 0.9},
     ):
         sparse = sorted(bm25_topk(docs, qs, **kwargs).collect(), key=key)
-        for pf in (0, 2):
+        for extra in (
+            {"prefilter_mod": 0},
+            {"prefilter_mod": 2},
+            {"method": "arrow"},
+            {"method": "arrow", "persist": True},
+        ):
             dense = sorted(
-                bm25_topk(
-                    docs, qs, dense=True, prefilter_mod=pf, **kwargs
-                ).collect(),
+                bm25_topk(docs, qs, dense=True, **extra, **kwargs).collect(),
                 key=key,
             )
             assert [tuple(r) for r in dense] == [tuple(r) for r in sparse], (
-                kwargs, pf,
+                kwargs, extra,
             )
 
 

@@ -517,6 +517,7 @@ def bm25_topk(
     persist: bool = False,
     dense: bool = False,
     prefilter_mod: int = 0,
+    method: str = "expr",
 ) -> DataFrame:
     """Lexical similarity search: BM25 top-k retrieval over an
     inverted index built from the corpus — the sparse complement to
@@ -599,7 +600,7 @@ def bm25_topk(
     if dense:
         return _bm25_topk_dense(
             docs, queries, text_col, id_col, q_text_col, qid_col,
-            k, k1, b, max_df_frac, persist, prefilter_mod, tok,
+            k, k1, b, max_df_frac, persist, prefilter_mod, tok, method,
         )
     base = docs.select(F.col(id_col).alias("doc_id"), tok(F.col(text_col)).alias("t"))
     tf = (
@@ -681,6 +682,7 @@ def _bm25_topk_dense(
     persist: bool,
     prefilter_mod: int,
     tok,
+    method: str = "expr",
 ) -> DataFrame:
     """Dense-corpus BM25 scoring shape (see :func:`bm25_topk`,
     ``dense=True``). Bit-identical to the inverted-index path: the tf
@@ -752,10 +754,12 @@ def _bm25_topk_dense(
         F.round(idf * tfc * 1000000).cast("long").alias("_c"),
     )
     nv_row = term_ids.agg(F.count("*").alias("_nv"))
-    carr = F.transform(
-        F.sequence(F.lit(0), F.col("_nv") - 1),
-        lambda i: F.try_element_at(F.col("_m"), i),
+    probe = (
+        (lambda i: F.coalesce(F.try_element_at(F.col("_m"), i), F.lit(-1)))
+        if method == "arrow"
+        else (lambda i: F.try_element_at(F.col("_m"), i))
     )
+    carr = F.transform(F.sequence(F.lit(0), F.col("_nv") - 1), probe)
     cdocs = (
         contribs.groupBy("doc_id")
         .agg(
@@ -782,6 +786,99 @@ def _bm25_topk_dense(
             F.col("qt"), lambda t: F.try_element_at(F.col("_idmap"), t)
         ).alias("qtid"),
     )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+    if method == "arrow":
+        # --- BLAS scoring (guide §4.2): per batch of documents, ONE
+        # D @ M.T matmul scores every (doc, query) pair — D is the
+        # batch's contrib matrix (−1 sentinel = term absent), M the
+        # collected nq × nv binary query-term matrix (queries are the
+        # broadcast-small side by contract, so collecting them is a
+        # stat-row-scale driver fetch, same as ivf_assign_arrow's
+        # centroids). float64 matmul is EXACT here: every value is an
+        # integer < 2^53. Each batch emits only the rows that can
+        # still reach the global top k — score ≥ the batch's k-th
+        # best per query (ties kept conservatively) — so the final
+        # exact (score desc, doc_id) window ranks ~nq·k rows per
+        # batch instead of |Q|·N pairs.
+        import numpy as np
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        qrows = qids.collect()
+        nq = len(qrows)
+        qt_sets = [
+            [t for t in (r["qtid"] or []) if t is not None] for r in qrows
+        ]
+        qid_vals = [r["query_id"] for r in qrows]
+        out_schema = StructType(
+            [
+                StructField("query_id", qids.schema["query_id"].dataType),
+                StructField("doc_id", cdocs.schema["doc_id"].dataType),
+                StructField("score_micros", LongType()),
+                StructField("n_terms", LongType()),
+            ]
+        )
+
+        def score_batches(batches):
+            import pandas as pd
+
+            M = None
+            for pdf in batches:
+                if not len(pdf) or not nq:
+                    continue
+                A = np.array(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["carr"]]
+                )
+                if M is None:
+                    M = np.zeros((nq, A.shape[1]), dtype=np.float64)
+                    for j, ts in enumerate(qt_sets):
+                        for t in ts:
+                            M[j, t] = 1.0
+                P = A >= 0
+                S = np.where(P, A, 0).astype(np.float64) @ M.T
+                N = P.astype(np.float64) @ M.T
+                S = np.where(N > 0, S, -1.0)
+                nrows = S.shape[0]
+                kk = min(k, nrows)
+                thr = -np.partition(-S, kk - 1, axis=0)[kk - 1, :]
+                ids = pdf["doc_id"].to_numpy()
+                doc_out, qj_out, s_out, n_out = [], [], [], []
+                for j in range(nq):
+                    mask = (N[:, j] > 0) & (S[:, j] >= thr[j])
+                    idx = np.nonzero(mask)[0]
+                    if not len(idx):
+                        continue
+                    doc_out.append(ids[idx])
+                    qj_out.append(np.full(len(idx), j))
+                    s_out.append(S[idx, j])
+                    n_out.append(N[idx, j])
+                if not doc_out:
+                    continue
+                qj = np.concatenate(qj_out)
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid_vals[j] for j in qj],
+                        "doc_id": np.concatenate(doc_out),
+                        "score_micros": np.concatenate(s_out).astype(
+                            np.int64
+                        ),
+                        "n_terms": np.concatenate(n_out).astype(np.int64),
+                    }
+                )
+
+        cand = cdocs.mapInPandas(score_batches, out_schema)
+        out = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score_micros", "n_terms")
+        )
+        if persist:
+            out = materialize(out)
+            cdocs.unpersist()
+            tf.unpersist()
+        return out
 
     # --- pair scores in-row: probe the contrib array with each
     # query's term ids under a broadcast nested-loop over the small
@@ -821,9 +918,6 @@ def _bm25_topk_dense(
         ).filter(F.col("n_terms") > 0)
 
     pairs = _pairs(cdocs)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micros").desc(), F.col("doc_id")
-    )
     if prefilter_mod > 1:
         # exact score floor from a deterministic 1/mod doc subsample:
         # the k-th best subsample score per query can only UNDERSHOOT

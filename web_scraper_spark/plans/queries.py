@@ -2489,7 +2489,7 @@ def q83_bm25_topk(spark, sf_dir):
     )
     out = S.bm25_topk(
         d, qs, k=10, max_df_frac=0.78, persist=True,
-        dense=True, prefilter_mod=16,
+        dense=True, method="arrow",
     )
     return out.select(
         "query_id", "doc_id", F.col("rank").alias("rnk"), "score_micros", "n_terms"
