@@ -34,9 +34,19 @@ def _word_count(text: Column, word: str) -> Column:
     return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
 
 
+def _word_set_count(text: Column, words: tuple[str, ...]) -> Column:
+    """Total whole-word occurrences of any word in ``words`` — ONE
+    alternation scan instead of one regex pass per word (the scans
+    were the q75/q13 profile cost: 8 passes per doc per language).
+    Count-identical to the per-word sum: matches are whole tokens and
+    a token equals at most one of the (distinct) words."""
+    alt = "|".join(words)
+    return F.regexp_count(F.lower(text), F.lit(rf"\b({alt})\b"))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     return {
-        lang: sum((_word_count(text, w) for w in words), F.lit(0))
+        lang: _word_set_count(text, words)
         for lang, words in LANG_PROFILES.items()
     }
 
@@ -83,9 +93,19 @@ def quality_features(text: Column) -> dict[str, Column]:
     punctuation ratio, stopword ratio, uppercase ratio."""
     n_chars = F.length(text)
     n_words = whitespace_token_count(text)
-    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
-    n_stop = sum((_word_count(text, w) for w in LANG_PROFILES["en"]), F.lit(0))
-    n_upper = F.regexp_count(text, F.lit(r"[A-Z]"))
+    # counts via translate length-diffs instead of regex scans —
+    # identical by construction to the ASCII classes Java regex uses
+    # here (\w = [a-zA-Z0-9_], \s = [ \t\n\x0B\f\r], no unicode flag):
+    # n_punct = chars surviving deletion of \w ∪ \s; n_upper = chars
+    # deleted by removing A-Z. ~2x cheaper per scan than regexp_count.
+    _word_space = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789_ \t\n\x0b\f\r"
+    )
+    _uppers = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    n_punct = F.length(F.translate(text, _word_space, ""))
+    n_stop = _word_set_count(text, LANG_PROFILES["en"])
+    n_upper = n_chars - F.length(F.translate(text, _uppers, ""))
     safe_chars = F.greatest(n_chars, F.lit(1))
     safe_words = F.greatest(n_words, F.lit(1))
     return {
