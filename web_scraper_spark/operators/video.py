@@ -229,13 +229,35 @@ def organize_by_chapters_df(transcripts: DataFrame, chapters: DataFrame) -> Data
     )
     ch = chapters.select("video_id", "k", "start_time", "title")
 
-    # anchor position for k>=1: min pos whose t >= start_time
+    # anchor position for k>=1: min pos whose t >= start_time.
+    # Computed as a SUFFIX-MIN window over the time-interleaved union
+    # of lines and chapter boundaries (ordered t DESC, lines before
+    # chapters at equal t so the >= is inclusive): at each chapter row
+    # the running min(pos) is exactly min{pos : t >= start_time}. The
+    # r1–r6 shape joined every chapter against every same-video line
+    # and aggregated — Θ(lines × chapters) join rows per video; the
+    # union window is Θ(lines + chapters) through one exchange on
+    # video_id (guide §2.4/§3.3 — the as-of join never multiplies).
+    _lu = lines.select(
+        "video_id", F.col("t"), F.lit(0).alias("_side"), "pos",
+        F.lit(None).cast(ch.schema["k"].dataType).alias("k"),
+        F.lit(None).cast("string").alias("title"),
+    )
+    _cu = ch.filter(F.col("k") >= 1).select(
+        "video_id", F.col("start_time").alias("t"), F.lit(1).alias("_side"),
+        F.lit(None).cast(lines.schema["pos"].dataType).alias("pos"),
+        "k", "title",
+    )
+    w_sfx = (
+        Window.partitionBy("video_id")
+        .orderBy(F.col("t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     anchors = (
-        ch.filter(F.col("k") >= 1)
-        .join(lines, "video_id")
-        .filter(F.col("t") >= F.col("start_time"))
-        .groupBy("video_id", "k", "title")
-        .agg(F.min("pos").alias("anchor_pos"))
+        _lu.unionByName(_cu)
+        .withColumn("anchor_pos", F.min("pos").over(w_sfx))
+        .filter((F.col("_side") == 1) & F.col("anchor_pos").isNotNull())
+        .select("video_id", "k", "title", "anchor_pos")
     )
     ch0 = ch.filter(F.col("k") == 0).select(
         "video_id", "k", "title", F.lit(-1).alias("anchor_pos")
