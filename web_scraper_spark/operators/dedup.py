@@ -685,19 +685,19 @@ def duplicate_spans(
     )
     if persist:
         exploded = exploded.persist()
-    shared = (
-        exploded.groupBy("h")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-    )
-    flagged = exploded.join(shared.select("h"), "h", "left_semi")
+    aggs = [F.count_distinct("id").alias("nd")]
     if policy == "keep_first":
-        # keeper = min (id, pos) per digest, as an unordered window
-        # aggregate over the h-partitioning the semi-join already
-        # produced — one pass, no separate groupBy + join-back
-        k = F.min(F.struct("id", "pos")).over(Window.partitionBy("h"))
+        # keeper = min (id, pos) per digest, computed INSIDE the
+        # shared-set aggregate the digests already shuffle through
+        # (min over the digest's flagged rows == min over all its
+        # rows); riding the broadcast join back costs zero extra
+        # exchanges — the r6 shape's per-h window re-shuffled every
+        # flagged row onto h and back onto id.
+        aggs.append(F.min(F.struct("id", "pos")).alias("_k"))
+    shared = exploded.groupBy("h").agg(*aggs).filter(F.col("nd") >= min_docs)
+    if policy == "keep_first":
         flagged = (
-            flagged.withColumn("_k", k)
+            exploded.join(shared.select("h", "_k"), "h")
             .filter(
                 ~(
                     (F.col("id") == F.col("_k.id"))
@@ -706,6 +706,8 @@ def duplicate_spans(
             )
             .drop("_k")
         )
+    else:
+        flagged = exploded.join(shared.select("h"), "h", "left_semi")
     w_ord = Window.partitionBy("id").orderBy("pos")
     # break when the previous window's last token (lag+W-1) leaves a
     # gap before this window's first (pos): pos > lag + W
