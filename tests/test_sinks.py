@@ -212,7 +212,17 @@ def test_incremental_dedup_bucketed_index_shuffles_new_side_only(spark):
         )
         plan = cand_join._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan, plan
-        assert plan.count("Exchange") == 1, plan  # new side only
+        # new side only: its (band, bucket) join exchange plus (since
+        # r7) the skinny groupBy(id) exchange inside the df-shaped
+        # signature build — the INDEX side must contribute none. In
+        # the printed tree the new snapshot is the join's LEFT child,
+        # whose subtree lines all carry the ':' rail — so every
+        # Exchange line must sit behind a ':' (the bucketed index
+        # subtree, printed rail-free, stays Exchange-free).
+        assert plan.count("Exchange") == 2, plan
+        for ln in plan.splitlines():
+            if "Exchange" in ln:
+                assert ":" in ln.split("Exchange")[0], plan
         # end-to-end through the operator: bucketed == in-memory index
         got = sorted(
             map(
