@@ -685,43 +685,62 @@ def _bm25_topk_dense(
     method: str = "expr",
 ) -> DataFrame:
     """Dense-corpus BM25 scoring shape (see :func:`bm25_topk`,
-    ``dense=True``). Bit-identical to the inverted-index path: the tf
-    table, corpus stats, df cap and per-(term, doc) contribution keep
-    the sparse path's exact expression trees; only the per-(query,
-    doc) aggregation moves — from a post-join groupBy over the
-    Θ(pairs × terms) row stream into an in-row integer sum over a
-    per-document term→contrib map (integer micros are
-    order-independent, so the sum is the same BIGINT either way)."""
-    # --- tf table and corpus stats: VERBATIM the sparse path (plus a
+    ``dense=True``). Bit-identical to the inverted-index path: corpus
+    stats, df cap and the per-(term, doc) contribution keep the
+    sparse path's exact arithmetic (for ``method="arrow"`` the
+    contribution is evaluated in float64 with the identical IEEE
+    operation order, idf/avgdl are COLLECTED from the JVM-computed
+    term table so no libm difference can leak in, and the HALF_UP
+    micros rounding is floor(x+0.5) — exactly BigDecimal HALF_UP for
+    0 ≤ x < 2^52); only the per-(query, doc) aggregation moves — from
+    a post-join groupBy over the Θ(pairs × terms) row stream into an
+    in-row / in-batch sum (integer micros are order-independent, so
+    the sum is the same BIGINT either way)."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     # round-robin repartition ahead of the explode: a compact parquet
     # file may plan only 1-2 input splits, which would serialize the
-    # tokenize+partial-aggregate work; scale-adaptive count, tiny
-    # rows-only shuffle)
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # tokenize+aggregate work; scale-adaptive count, rows-only shuffle
     base = docs.select(
         F.col(id_col).alias("doc_id"), tok(F.col(text_col)).alias("t")
     ).repartition(n_parts)
-    tf = (
-        base.select(
-            "doc_id",
-            F.size("t").cast("long").alias("dl"),
-            F.explode("t").alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
-    )
-    if persist:
-        tf = tf.persist()
+    if persist and method == "arrow":
+        base = base.persist()
     stats = base.select(F.size("t").cast("long").alias("dl")).agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     qdf = queries.select(
         F.col(qid_col).alias("query_id"),
         F.array_distinct(tok(F.col(q_text_col))).alias("qt"),
     )
     qterm_df = qdf.select(F.explode("qt").alias("term")).distinct()
+
+    tf = None
+    if method == "arrow":
+        # document frequency straight from the distinct-terms-per-doc
+        # explode (== the tf table's groupBy(term) count) — the
+        # (doc, term) pre-aggregation exchange disappears entirely;
+        # term counting happens per document in the scorer below
+        dfreq = (
+            base.select(F.explode(F.array_distinct("t")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+    else:
+        # tf table: VERBATIM the sparse path
+        tf = (
+            base.select(
+                "doc_id",
+                F.size("t").cast("long").alias("dl"),
+                F.explode("t").alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+        )
+        if persist:
+            tf = tf.persist()
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
     term_stats = (
         dfreq.join(F.broadcast(qterm_df), "term")
         .crossJoin(F.broadcast(stats))
@@ -730,23 +749,159 @@ def _bm25_topk_dense(
             <= F.floor(F.lit(max_df_frac) * F.col("n")).cast("long")
         )
     )
-    # --- per-(term, doc) contribution: the sparse path's Project.
-    # The surviving (df-capped, query-restricted) term set is tiny by
-    # the operator's contract, so terms get dense INTEGER ids
-    # (row_number over the sorted term list) and each document folds
-    # its contribs into a positional array — pair probing is then an
-    # O(1) codegen array index instead of a string-keyed map scan
-    # (measured 11.9 s → ~4 s over the 5*10^7-pair stream at sf1.0).
-    # Documents with no uncapped query term drop out here, exactly
-    # the candidate set the inverted index would produce.
     idf = F.log(
         (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )
-    tfc = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * ((1 - b) + b * (F.col("dl") / F.col("avgdl")))
-    )
+    # the surviving (df-capped, query-restricted) term set is tiny by
+    # the operator's contract → dense integer term ids
     term_ids = term_stats.withColumn(
         "_tid", F.row_number().over(Window.orderBy("term")) - 1
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    )
+
+    if method == "arrow":
+        # --- BLAS scoring (guide §4.2): ONE corpus-side exchange — a
+        # groupBy(doc_id) that collects each document's matched term
+        # ids (token explode ⨝ broadcast term ids; capped/non-query
+        # tokens drop here, so documents with no uncapped query term
+        # vanish exactly like the inverted index's candidate set).
+        # Per batch the scorer bincounts tids into the tf matrix and
+        # scores every (doc, query) pair with one C @ M.T matmul
+        # (float64 exact: all values integers < 2^53). Each batch
+        # emits only rows at or above its per-query k-th score (ties
+        # kept conservatively), so the final exact window ranks
+        # ~nq·k rows per batch instead of |Q|·N pairs.
+        import numpy as np
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        trows = term_ids.select(
+            "term", "_tid", idf.alias("_idf"), "avgdl"
+        ).collect()
+        trows.sort(key=lambda r: r["_tid"])
+        nv = len(trows)
+        idf_arr = np.array([r["_idf"] for r in trows], dtype=np.float64)
+        avgdl = float(trows[0]["avgdl"]) if trows else 1.0
+        tid_map_rows = [(r["term"], r["_tid"]) for r in trows]
+        tid_df = docs.sparkSession.createDataFrame(
+            tid_map_rows, "term string, _tid int"
+        ) if tid_map_rows else None
+
+        qrows = qdf.collect()
+        nq = len(qrows)
+        term_to_tid = dict(tid_map_rows)
+        qid_vals = [r["query_id"] for r in qrows]
+        qt_sets = [
+            sorted(
+                {
+                    term_to_tid[t]
+                    for t in (r["qt"] or [])
+                    if t in term_to_tid
+                }
+            )
+            for r in qrows
+        ]
+        M = np.zeros((nq, nv), dtype=np.float64)
+        for j, ts in enumerate(qt_sets):
+            for t in ts:
+                M[j, t] = 1.0
+        k1_ = float(k1)
+        b_ = float(b)
+
+        out_schema = StructType(
+            [
+                StructField("query_id", qdf.schema["query_id"].dataType),
+                StructField("doc_id", base.schema["doc_id"].dataType),
+                StructField("score_micros", LongType()),
+                StructField("n_terms", LongType()),
+            ]
+        )
+
+        def score_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                nb = len(pdf)
+                if not nb or not nq or not nv:
+                    continue
+                C = np.zeros((nb, nv), dtype=np.float64)
+                for r, tids in enumerate(pdf["tids"]):
+                    C[r] = np.bincount(
+                        np.asarray(tids, dtype=np.int64), minlength=nv
+                    )
+                dl = pdf["dl"].to_numpy().astype(np.float64)
+                # EXACT sparse-path op order:
+                # tfc = (tf*(k1+1)) / (tf + ((dl/avgdl)*b + (1-b))*k1)
+                dn = ((dl / avgdl) * b_ + (1.0 - b_)) * k1_
+                tfc = (C * (k1_ + 1.0)) / (C + dn[:, None])
+                contrib = np.floor(idf_arr[None, :] * tfc * 1000000.0 + 0.5)
+                P = C > 0
+                contrib = np.where(P, contrib, 0.0)
+                S = contrib @ M.T
+                N = P.astype(np.float64) @ M.T
+                S = np.where(N > 0, S, -1.0)
+                kk = min(k, nb)
+                thr = -np.partition(-S, kk - 1, axis=0)[kk - 1, :]
+                ids = pdf["doc_id"].to_numpy()
+                doc_out, qj_out, s_out, n_out = [], [], [], []
+                for j in range(nq):
+                    mask = (N[:, j] > 0) & (S[:, j] >= thr[j])
+                    idx = np.nonzero(mask)[0]
+                    if not len(idx):
+                        continue
+                    doc_out.append(ids[idx])
+                    qj_out.append(np.full(len(idx), j))
+                    s_out.append(S[idx, j])
+                    n_out.append(N[idx, j])
+                if not doc_out:
+                    continue
+                qj = np.concatenate(qj_out)
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid_vals[j] for j in qj],
+                        "doc_id": np.concatenate(doc_out),
+                        "score_micros": np.concatenate(s_out).astype(
+                            np.int64
+                        ),
+                        "n_terms": np.concatenate(n_out).astype(np.int64),
+                    }
+                )
+
+        if tid_df is None:
+            # no uncapped query terms → empty result, correct schema
+            cand = docs.sparkSession.createDataFrame([], out_schema)
+        else:
+            gro = (
+                base.select(
+                    "doc_id",
+                    F.size("t").cast("long").alias("dl"),
+                    F.explode("t").alias("term"),
+                )
+                .join(F.broadcast(tid_df), "term")
+                .groupBy("doc_id")
+                .agg(
+                    F.min("dl").alias("dl"),
+                    F.collect_list("_tid").alias("tids"),
+                )
+            )
+            cand = gro.mapInPandas(score_batches, out_schema)
+        out = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score_micros", "n_terms")
+        )
+        if persist:
+            out = materialize(out)
+            base.unpersist()
+        return out
+
+    # --- expression path: per-(term, doc) contribution (the sparse
+    # path's Project), folded into a positional per-doc array probed
+    # with codegen F.get — O(1) vs the string-keyed map scan
+    tfc = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * ((1 - b) + b * (F.col("dl") / F.col("avgdl")))
     )
     contribs = tf.join(F.broadcast(term_ids), "term").select(
         "doc_id",
@@ -754,12 +909,10 @@ def _bm25_topk_dense(
         F.round(idf * tfc * 1000000).cast("long").alias("_c"),
     )
     nv_row = term_ids.agg(F.count("*").alias("_nv"))
-    probe = (
-        (lambda i: F.coalesce(F.try_element_at(F.col("_m"), i), F.lit(-1)))
-        if method == "arrow"
-        else (lambda i: F.try_element_at(F.col("_m"), i))
+    carr = F.transform(
+        F.sequence(F.lit(0), F.col("_nv") - 1),
+        lambda i: F.try_element_at(F.col("_m"), i),
     )
-    carr = F.transform(F.sequence(F.lit(0), F.col("_nv") - 1), probe)
     cdocs = (
         contribs.groupBy("doc_id")
         .agg(
@@ -787,108 +940,14 @@ def _bm25_topk_dense(
         ).alias("qtid"),
     )
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micros").desc(), F.col("doc_id")
-    )
-    if method == "arrow":
-        # --- BLAS scoring (guide §4.2): per batch of documents, ONE
-        # D @ M.T matmul scores every (doc, query) pair — D is the
-        # batch's contrib matrix (−1 sentinel = term absent), M the
-        # collected nq × nv binary query-term matrix (queries are the
-        # broadcast-small side by contract, so collecting them is a
-        # stat-row-scale driver fetch, same as ivf_assign_arrow's
-        # centroids). float64 matmul is EXACT here: every value is an
-        # integer < 2^53. Each batch emits only the rows that can
-        # still reach the global top k — score ≥ the batch's k-th
-        # best per query (ties kept conservatively) — so the final
-        # exact (score desc, doc_id) window ranks ~nq·k rows per
-        # batch instead of |Q|·N pairs.
-        import numpy as np
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        qrows = qids.collect()
-        nq = len(qrows)
-        qt_sets = [
-            [t for t in (r["qtid"] or []) if t is not None] for r in qrows
-        ]
-        qid_vals = [r["query_id"] for r in qrows]
-        out_schema = StructType(
-            [
-                StructField("query_id", qids.schema["query_id"].dataType),
-                StructField("doc_id", cdocs.schema["doc_id"].dataType),
-                StructField("score_micros", LongType()),
-                StructField("n_terms", LongType()),
-            ]
-        )
-
-        def score_batches(batches):
-            import pandas as pd
-
-            M = None
-            for pdf in batches:
-                if not len(pdf) or not nq:
-                    continue
-                A = np.array(
-                    [np.asarray(a, dtype=np.int64) for a in pdf["carr"]]
-                )
-                if M is None:
-                    M = np.zeros((nq, A.shape[1]), dtype=np.float64)
-                    for j, ts in enumerate(qt_sets):
-                        for t in ts:
-                            M[j, t] = 1.0
-                P = A >= 0
-                S = np.where(P, A, 0).astype(np.float64) @ M.T
-                N = P.astype(np.float64) @ M.T
-                S = np.where(N > 0, S, -1.0)
-                nrows = S.shape[0]
-                kk = min(k, nrows)
-                thr = -np.partition(-S, kk - 1, axis=0)[kk - 1, :]
-                ids = pdf["doc_id"].to_numpy()
-                doc_out, qj_out, s_out, n_out = [], [], [], []
-                for j in range(nq):
-                    mask = (N[:, j] > 0) & (S[:, j] >= thr[j])
-                    idx = np.nonzero(mask)[0]
-                    if not len(idx):
-                        continue
-                    doc_out.append(ids[idx])
-                    qj_out.append(np.full(len(idx), j))
-                    s_out.append(S[idx, j])
-                    n_out.append(N[idx, j])
-                if not doc_out:
-                    continue
-                qj = np.concatenate(qj_out)
-                yield pd.DataFrame(
-                    {
-                        "query_id": [qid_vals[j] for j in qj],
-                        "doc_id": np.concatenate(doc_out),
-                        "score_micros": np.concatenate(s_out).astype(
-                            np.int64
-                        ),
-                        "n_terms": np.concatenate(n_out).astype(np.int64),
-                    }
-                )
-
-        cand = cdocs.mapInPandas(score_batches, out_schema)
-        out = (
-            cand.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "doc_id", "rank", "score_micros", "n_terms")
-        )
-        if persist:
-            out = materialize(out)
-            cdocs.unpersist()
-            tf.unpersist()
-        return out
-
     # --- pair scores in-row: probe the contrib array with each
     # query's term ids under a broadcast nested-loop over the small
     # query side; pairs with no uncapped matching term are dropped.
-    # The probes are expanded to FIXED per-term slots (slot count =
-    # the query side's max distinct term count, read with one tiny
-    # action on the small side): F.get/try_element_at are whole-stage-
-    # codegen while transform/filter/aggregate HOFs are interpreted
-    # CodegenFallback — measured 25.6 s vs ~4 s over the 5*10^7-pair
-    # stream at sf1.0.
+    # Probes are expanded to FIXED per-term slots (slot count = the
+    # query side's max distinct term count, read with one tiny action
+    # on the small side): F.get/try_element_at are whole-stage-codegen
+    # while transform/filter/aggregate HOFs are interpreted
+    # CodegenFallback (guide §4.1).
     max_qt = qdf.agg(F.max(F.size("qt"))).first()[0] or 0
     slots = max(int(max_qt), 1)
 
