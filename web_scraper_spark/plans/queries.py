@@ -32,8 +32,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+#: per-session reader memo — `spark.read.parquet` re-lists the path
+#: and re-reads the footer schema on every call; across a 91-query
+#: suite that is pure repeated driver work. The cached object is the
+#: lazy DataFrame (plan + file index) only — no data is cached, every
+#: action still scans the parquet input (the no-precomputation rule).
+_LOAD_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name)
+    hit = _LOAD_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _LOAD_MEMO[key] = (spark, df)
+    return df
 
 
 def query(name: str, oracle: str | None = None):
