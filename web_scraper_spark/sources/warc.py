@@ -355,8 +355,11 @@ def write_wet_dir(
     cols = ["url", "text"] + (["warc_ts"] if has_ts else [])
 
     def dump(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        # attempt-unique temp + atomic rename, as in write_warc_dir
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = _os.path.join(out_dir, f"seg-{pid:05d}{ext}")
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         n_rec = n_bytes = 0
         fh = None
         for pdf in batches:
@@ -365,7 +368,7 @@ def write_wet_dir(
                 if text is None:
                     continue
                 if fh is None:
-                    fh = open(path, "wb")
+                    fh = open(tmp, "wb")
                 body = str(text).encode("utf-8")
                 date = (
                     "1970-01-01T00:00:00Z"
@@ -387,6 +390,7 @@ def write_wet_dir(
                 n_bytes += len(out)
         if fh is not None:
             fh.close()
+            _os.replace(tmp, path)
             yield _pd.DataFrame(
                 {"path": [path], "n_records": [n_rec], "n_bytes": [n_bytes]}
             )
@@ -429,8 +433,18 @@ def write_warc_dir(
     ext = ".warc.gz" if gzip_records else ".warc"
 
     def dump(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        # write to an ATTEMPT-unique temp name and rename on success:
+        # under speculative execution or a retry racing a zombie
+        # attempt, two attempts would otherwise interleave writes into
+        # the same seg path (r6 ADVICE); os.replace is atomic on a
+        # POSIX filesystem, so the committed segment is always one
+        # attempt's complete output. Re-evaluating the returned
+        # manifest still rewrites segments — collect/checkpoint it
+        # once (docstring contract).
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = _os.path.join(out_dir, f"seg-{pid:05d}{ext}")
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         n_rec = n_bytes = 0
         fh = None
         for pdf in batches:
@@ -438,7 +452,7 @@ def write_warc_dir(
                 if html is None:
                     continue
                 if fh is None:  # empty partitions write no file
-                    fh = open(path, "wb")
+                    fh = open(tmp, "wb")
                 body = bytes(html)
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
@@ -463,6 +477,7 @@ def write_warc_dir(
                 n_bytes += len(out)
         if fh is not None:
             fh.close()
+            _os.replace(tmp, path)
             yield _pd.DataFrame(
                 {"path": [path], "n_records": [n_rec], "n_bytes": [n_bytes]}
             )
